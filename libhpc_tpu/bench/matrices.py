@@ -1,0 +1,97 @@
+"""Benchmark matrix generators (BASELINE.json configs).
+
+SuiteSparse downloads are unavailable (zero-egress image), so `cant` and
+`pwtk` are modeled by synthetic stand-ins with the same structural
+statistics (size, nnz/row, block structure); the generators are
+deterministic so results are comparable across rounds. If real .mtx files
+are present under $LIBHPC_MATRIX_DIR they are loaded instead (via the
+native MatrixMarket loader when built, else scipy).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import scipy.sparse as sps
+
+
+def poisson2d(n: int, dtype=np.float32) -> sps.csr_matrix:
+    """5-point Poisson on an n×n grid: the configs[0] matrix
+    (10k×10k when n=100; BASELINE uses a 10k-row system)."""
+    d = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n))
+    I = sps.identity(n)
+    return (sps.kron(I, d) + sps.kron(d, I)).tocsr().astype(dtype)
+
+
+def poisson3d(n: int, dtype=np.float32) -> sps.csr_matrix:
+    d = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n))
+    I = sps.identity(n)
+    A = (
+        sps.kron(sps.kron(I, I), d)
+        + sps.kron(sps.kron(I, d), I)
+        + sps.kron(sps.kron(d, I), I)
+    )
+    return A.tocsr().astype(dtype)
+
+
+def block_random(n_block_rows: int, block: int = 8,
+                 blocks_per_row: int = 8, seed: int = 0,
+                 dtype=np.float32) -> sps.csr_matrix:
+    """Synthetic FEM-like matrix: dense b×b blocks at random block columns
+    (banded bias for realism). Stand-in generator for cant/pwtk-style
+    structure."""
+    rs = np.random.RandomState(seed)
+    n = n_block_rows * block
+    rows, cols, vals = [], [], []
+    for br in range(n_block_rows):
+        # banded: neighbors + a few far columns
+        near = br + rs.randint(-4, 5, size=blocks_per_row - 2)
+        far = rs.randint(0, n_block_rows, size=2)
+        bcs = np.unique(np.clip(np.concatenate([near, far, [br]]), 0,
+                                n_block_rows - 1))
+        for bc in bcs:
+            r0, c0 = br * block, bc * block
+            rr, cc = np.meshgrid(np.arange(block), np.arange(block),
+                                 indexing="ij")
+            rows.append((r0 + rr).ravel())
+            cols.append((c0 + cc).ravel())
+            vals.append(rs.randn(block * block).astype(dtype))
+    A = sps.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    ).tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def cant_like(dtype=np.float32) -> sps.csr_matrix:
+    """Stand-in for SuiteSparse `cant` (FEM cantilever: 62k rows, ~4M nnz,
+    ~64 nnz/row in 8-ish blocks)."""
+    return block_random(62_000 // 8, block=8, blocks_per_row=8, seed=1,
+                        dtype=dtype)
+
+
+def pwtk_like(dtype=np.float32) -> sps.csr_matrix:
+    """Stand-in for SuiteSparse `pwtk` (wind tunnel: 218k rows, ~11.5M nnz)."""
+    return block_random(218_000 // 8, block=8, blocks_per_row=7, seed=2,
+                        dtype=dtype)
+
+
+def load_or_synthesize(name: str) -> sps.csr_matrix:
+    """Load $LIBHPC_MATRIX_DIR/<name>.mtx if present, else synthesize."""
+    mdir = os.environ.get("LIBHPC_MATRIX_DIR", "")
+    path = os.path.join(mdir, f"{name}.mtx") if mdir else ""
+    if path and os.path.exists(path):
+        try:
+            from libhpc_tpu.runtime.native import load_mtx_native
+
+            return load_mtx_native(path)
+        except Exception:
+            import scipy.io as sio
+
+            return sio.mmread(path).tocsr()
+    gen = {"cant": cant_like, "pwtk": pwtk_like}
+    if name in gen:
+        return gen[name]()
+    raise KeyError(name)

@@ -1,0 +1,87 @@
+"""Exclusive / inclusive scans.
+
+TPU-native descendant of the reference's hierarchical 1024-fan-in exclusive
+scan (lib/gpu/radix_gpu/include/cuda_hierarchical_exclusive_scan_localT_1024.cuh,
+SURVEY.md §2.11c): upsweep tile scans + top-level scan + downsweep offset
+propagation.
+
+On TPU the Pallas grid executes *sequentially* on a core, so the whole
+upsweep/downsweep tree collapses into a single pass that keeps a running
+carry in SMEM — the idiomatic TPU formulation. Within a (8, 128) VMEM tile
+the scan is hierarchical exactly like the reference: lane-wise cumsum (VPU
+log-step shifts) composed with a sublane-level scan of row sums.
+
+Public API:
+  exclusive_scan(x)         — XLA fallback (jnp.cumsum based), any backend
+  exclusive_scan_pallas(x)  — tiled Pallas kernel, 1D f32/i32 input
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from libhpc_tpu.ops._pallas_utils import LANE, cdiv, interpret_mode
+
+SUBLANES = 8
+TILE = SUBLANES * LANE  # 1024 elements per grid step — same fan-in as the ref
+
+
+@jax.jit
+def exclusive_scan(x):
+    """Exclusive prefix sum along the last axis (XLA path)."""
+    c = jnp.cumsum(x, axis=-1)
+    return c - x
+
+
+@jax.jit
+def inclusive_scan(x):
+    return jnp.cumsum(x, axis=-1)
+
+
+def _scan_tile_kernel(x_ref, o_ref, carry_ref):
+    """One 1024-element tile: hierarchical in-tile scan + carry propagation."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[0, 0] = jnp.zeros((), x_ref.dtype)
+
+    x = x_ref[0]                                   # (8, 128)
+    lane_inc = jnp.cumsum(x, axis=1)               # within-row inclusive scan
+    row_tot = lane_inc[:, -1:]                     # (8, 1) row sums
+    row_excl = jnp.cumsum(row_tot, axis=0) - row_tot  # exclusive over rows
+    carry = carry_ref[0, 0]
+    o_ref[0] = carry + row_excl + (lane_inc - x)   # exclusive result
+    carry_ref[0, 0] = carry + jnp.sum(row_tot)
+
+
+@partial(jax.jit, static_argnames=())
+def exclusive_scan_pallas(x):
+    """Tiled exclusive scan of a 1D array via Pallas.
+
+    Pads to a multiple of 1024 (padding-invariant: zeros do not perturb the
+    prefix of valid elements).
+    """
+    (n,) = x.shape
+    n_pad = max(TILE, cdiv(n, TILE) * TILE)
+    xp = jnp.zeros((n_pad,), x.dtype).at[:n].set(x)
+    xt = xp.reshape(n_pad // TILE, SUBLANES, LANE)
+    out = pl.pallas_call(
+        _scan_tile_kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xt.shape, x.dtype),
+        scratch_shapes=[pltpu.SMEM((1, 1), x.dtype)],
+        interpret=interpret_mode(),
+    )(xt)
+    return out.reshape(n_pad)[:n]

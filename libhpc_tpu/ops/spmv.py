@@ -1,0 +1,62 @@
+"""Sparse matrix–vector products (the BASELINE.json north-star op).
+
+Three compute paths, chosen by storage format:
+
+  csr_spmv(csr, x)  — gather + segment-sum. The interchange-format fallback:
+                      XLA compiles the gather + the segmented reduction into
+                      an HBM-streaming loop. Bytes/nnz ≈ 8 (data+index) plus
+                      x traffic.
+  ell_spmv(ell, x)  — dense-rectangle path: x[cols] is a dense gather of a
+                      (nrows, k) index plane, the reduce a dense axis-sum.
+                      Best when row lengths are regular (Poisson, stencils).
+  bsr_spmv(bsr, x)  — MXU path: batched b×b block-dots + block-row segment
+                      sum (BASELINE.json configs[1], 8×8 SuiteSparse blocks).
+
+The reference has no SpMV (it is a primitives library); these ops are the
+designated TPU re-expression of its sparse-grid + SIMD-stencil capabilities
+per BASELINE.json. Reduction structure descends from the reference's
+count→scan→scatter skeleton (SURVEY.md §3.2) with scatter replaced by
+segment-sum — scatter is the one primitive TPUs dislike.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def csr_spmv(csr, x):
+    """y = A @ x for CSR A. Padding entries (col 0, val 0) contribute 0."""
+    prod = csr.data * x[csr.indices]
+    return jax.ops.segment_sum(
+        prod, csr.row_of_nnz(), num_segments=csr.shape[0]
+    )
+
+
+@jax.jit
+def ell_spmv(ell, x):
+    """y = A @ x for ELL A — the regular-row fast path."""
+    return jnp.sum(ell.vals * x[ell.cols], axis=1)
+
+
+@jax.jit
+def bsr_spmv(bsr, x):
+    """y = A @ x for BSR A via batched block-dots on the MXU."""
+    b = bsr.b
+    xb = x.reshape(-1, b)                       # (n_block_cols, b)
+    gx = xb[bsr.indices]                        # (nblocks, b)
+    prod = jnp.einsum(
+        "nij,nj->ni", bsr.blocks, gx,
+        preferred_element_type=bsr.blocks.dtype,
+    )
+    yb = jax.ops.segment_sum(
+        prod, bsr.block_row_of_block(), num_segments=bsr.n_block_rows
+    )
+    return yb.reshape(-1)
+
+
+@jax.jit
+def coo_spmv(coo, x):
+    prod = coo.data * x[coo.col]
+    return jax.ops.segment_sum(prod, coo.row, num_segments=coo.shape[0])

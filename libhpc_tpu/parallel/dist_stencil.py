@@ -1,0 +1,75 @@
+"""Distributed ghost-cell stencils (BASELINE.json configs[3]).
+
+Row-partitions a 2D (or 3D, leading-axis) field over the mesh and applies a
+stencil with halo exchange, using the overlapped interior/boundary split
+from libhpc_tpu.parallel.halo. This is the end-to-end re-expression of the
+reference's ghost-cell stencil workloads
+(test_hpc_benchmark.cpp:354-601 over HPCHighDimensionFlatArray halos).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from libhpc_tpu.parallel import halo as _halo
+
+
+def dist_blur2d_fn(mesh: Mesh, radius: int = 8, axis: str = "x",
+                   overlap: bool = True):
+    """Jitted distributed 2D box blur: (m, n) row-sharded -> same sharding.
+
+    The X (lane) pass is purely local; the Y pass crosses shard boundaries
+    and uses the halo exchange.
+    """
+    from libhpc_tpu.ops.stencil import box_sum_1d
+
+    r = radius
+
+    def y_stencil(padded):
+        # (k + 2r, n) -> (k, n): valid sliding-window sum along rows
+        c = jnp.cumsum(padded, axis=0)
+        k = padded.shape[0] - 2 * r
+        hi = c[2 * r:, :]
+        lo = jnp.concatenate(
+            [jnp.zeros((1, padded.shape[1]), padded.dtype), c[:-2 * r - 1, :]],
+            axis=0,
+        )
+        return (hi - lo)[:k, :]
+
+    def body(x):
+        bx = box_sum_1d(x, r, axis=1)          # local lane pass
+        if overlap:
+            return _halo.halo_stencil_overlapped(bx, y_stencil, r, axis)
+        return y_stencil(_halo.pad_with_halo(bx, r, axis))
+
+    f = jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    return jax.jit(f)
+
+
+def dist_poisson_fn(mesh: Mesh, axis: str = "x"):
+    """Jitted distributed matrix-free 5-point Poisson operator on a
+    row-sharded (m, n) grid — the distributed operator used by multigrid /
+    CG on the model problem."""
+
+    def p5(padded):
+        # (k + 2, n) -> (k, n)
+        u = padded[1:-1, :]
+        up = jnp.pad(u, ((0, 0), (1, 1)))
+        return (
+            4.0 * u
+            - padded[:-2, :]
+            - padded[2:, :]
+            - up[:, :-2]
+            - up[:, 2:]
+        )
+
+    def body(x):
+        return _halo.halo_stencil_overlapped(x, p5, 1, axis)
+
+    return jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    )

@@ -1,0 +1,82 @@
+"""CG solver + SpGEMM tests (BASELINE.json configs[2], configs[4])."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+import jax.numpy as jnp
+
+from libhpc_tpu.sparse import CSR
+from libhpc_tpu.ops import solver, spgemm
+from test_spmv_spmm import poisson2d
+
+
+def test_cg_poisson():
+    A = poisson2d(16)  # 256×256 SPD
+    csr = CSR.from_scipy(A)
+    rng = np.random.default_rng(0)
+    x_true = rng.random(A.shape[0]).astype(np.float32)
+    b = jnp.asarray(A @ x_true)
+    x, it, res = solver.cg(lambda v: csr @ v, b, tol=1e-5, max_iter=2000)
+    assert int(it) < 2000
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-2, atol=1e-2)
+
+
+def test_cg_matrix_free():
+    """Matrix-free operator (stencil) gives the same answer as the CSR CG."""
+    from libhpc_tpu.ops.stencil import poisson5_apply
+
+    n = 16
+    A = poisson2d(n)
+    csr = CSR.from_scipy(A)
+    rng = np.random.default_rng(1)
+    b_grid = rng.random((n, n)).astype(np.float32)
+    b = jnp.asarray(b_grid.ravel())
+
+    x1, _, _ = solver.cg(lambda v: csr @ v, b, tol=1e-6, max_iter=2000)
+    mv = lambda v: poisson5_apply(v.reshape(n, n)).ravel()
+    x2, _, _ = solver.cg(mv, b, tol=1e-6, max_iter=2000)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_jacobi_smoother():
+    A = poisson2d(8)
+    csr = CSR.from_scipy(A)
+    diag = jnp.asarray(A.diagonal().astype(np.float32))
+    rng = np.random.default_rng(2)
+    x_true = rng.random(A.shape[0]).astype(np.float32)
+    b = jnp.asarray(A @ x_true)
+    x = solver.jacobi(lambda v: csr @ v, diag, b, n_iter=2000, omega=0.8)
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=0.05, atol=0.05)
+
+
+# ---- SpGEMM ----------------------------------------------------------------
+
+@pytest.mark.parametrize("m,k,n,da,db", [(1, 1, 1, 1.0, 1.0),
+                                         (20, 30, 25, 0.2, 0.2),
+                                         (64, 64, 64, 0.05, 0.05),
+                                         (111, 97, 113, 0.1, 0.08)])
+def test_spgemm_random(m, k, n, da, db):
+    rs = np.random.RandomState(42)
+    A = sps.random(m, k, density=da, format="csr", dtype=np.float32,
+                   random_state=rs)
+    B = sps.random(k, n, density=db, format="csr", dtype=np.float32,
+                   random_state=rs)
+    C = spgemm.spgemm(CSR.from_scipy(A), CSR.from_scipy(B))
+    np.testing.assert_allclose(np.asarray(C.todense()), (A @ B).toarray(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spgemm_csr_poisson():
+    A = poisson2d(8)
+    C = spgemm.spgemm_csr(CSR.from_scipy(A), CSR.from_scipy(A))
+    np.testing.assert_allclose(np.asarray(C.todense()), (A @ A).toarray(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spgemm_expansion_size():
+    A = poisson2d(4)
+    got = spgemm.spgemm_expansion_size(CSR.from_scipy(A), CSR.from_scipy(A))
+    lenB = np.diff(A.indptr)
+    expect = int(lenB[A.indices].sum())
+    assert got == expect

@@ -1,0 +1,101 @@
+"""SpMV / SpMM vs scipy oracles — BASELINE.json configs[0..2] correctness."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+import jax.numpy as jnp
+
+from libhpc_tpu.sparse import CSR, BSR, ELL, COO
+from libhpc_tpu.ops import spmv, spmm
+
+
+def poisson2d(n):
+    """5-point Poisson on an n×n grid (the BASELINE configs[0] matrix)."""
+    d = sps.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n))
+    I = sps.identity(n)
+    return (sps.kron(I, d) + sps.kron(d, I)).tocsr().astype(np.float32)
+
+
+@pytest.mark.parametrize("shape,density", [((1, 1), 1.0), ((13, 7), 0.3),
+                                           ((100, 100), 0.05),
+                                           ((297, 111), 0.1)])
+def test_csr_spmv_random(rng, shape, density):
+    sp = sps.random(*shape, density=density, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(7))
+    x = rng.random(shape[1]).astype(np.float32)
+    got = np.asarray(spmv.csr_spmv(CSR.from_scipy(sp), jnp.asarray(x)))
+    np.testing.assert_allclose(got, sp @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_csr_spmv_poisson():
+    """configs[0]: Poisson SpMV vs dense matvec."""
+    A = poisson2d(32)  # 1024×1024
+    x = np.linspace(-1, 1, A.shape[0]).astype(np.float32)
+    csr = CSR.from_scipy(A)
+    got = np.asarray(spmv.csr_spmv(csr, jnp.asarray(x)))
+    dense = np.asarray(A.todense() @ x).ravel()
+    np.testing.assert_allclose(got, dense, rtol=1e-4, atol=1e-4)
+
+
+def test_ell_spmv(rng):
+    A = poisson2d(16)
+    x = rng.random(A.shape[1]).astype(np.float32)
+    ell = ELL.from_scipy(A)
+    got = np.asarray(spmv.ell_spmv(ell, jnp.asarray(x)))
+    np.testing.assert_allclose(got, A @ x, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("block", [8, 16])
+def test_bsr_spmv(rng, block):
+    sp = sps.random(120, 120, density=0.05, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(3))
+    x = rng.random(120).astype(np.float32)
+    bsr = BSR.from_scipy(sp, block=block)
+    xp = np.zeros(bsr.shape[1], np.float32)
+    xp[:120] = x
+    got = np.asarray(spmv.bsr_spmv(bsr, jnp.asarray(xp)))
+    np.testing.assert_allclose(got[:120], sp @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_coo_spmv(rng):
+    sp = sps.random(80, 90, density=0.1, format="coo", dtype=np.float32,
+                    random_state=np.random.RandomState(5))
+    x = rng.random(90).astype(np.float32)
+    got = np.asarray(spmv.coo_spmv(COO.from_scipy(sp), jnp.asarray(x)))
+    np.testing.assert_allclose(got, sp @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_matmul_operator(rng):
+    sp = sps.random(50, 60, density=0.1, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(9))
+    csr = CSR.from_scipy(sp)
+    x = rng.random(60).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(csr @ jnp.asarray(x)), sp @ x,
+                               rtol=1e-4, atol=1e-5)
+
+
+# ---- SpMM (configs[2]) -----------------------------------------------------
+
+@pytest.mark.parametrize("c", [1, 64])
+def test_csr_spmm(rng, c):
+    sp = sps.random(100, 80, density=0.08, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(11))
+    B = rng.random((80, c)).astype(np.float32)
+    got = np.asarray(spmm.csr_spmm(CSR.from_scipy(sp), jnp.asarray(B)))
+    np.testing.assert_allclose(got, sp @ B, rtol=1e-4, atol=1e-4)
+
+
+def test_ell_spmm(rng):
+    A = poisson2d(10)
+    B = rng.random((100, 64)).astype(np.float32)
+    got = np.asarray(spmm.ell_spmm(ELL.from_scipy(A), jnp.asarray(B)))
+    np.testing.assert_allclose(got, A @ B, rtol=1e-4, atol=1e-3)
+
+
+def test_bsr_spmm(rng):
+    sp = sps.random(64, 64, density=0.1, format="csr", dtype=np.float32,
+                    random_state=np.random.RandomState(13))
+    B = rng.random((64, 32)).astype(np.float32)
+    got = np.asarray(spmm.bsr_spmm(BSR.from_scipy(sp, block=8),
+                                   jnp.asarray(B)))
+    np.testing.assert_allclose(got, sp @ B, rtol=1e-4, atol=1e-3)
