@@ -1,11 +1,20 @@
 """Benchmark + roofline harness (SURVEY.md §5.5: structured JSON results).
 
-Replaces the reference's cudaEvent/chrono harnesses
-(tests/test_gpu_benchmark/test_gpu_benchmark.cpp:96-126) with
-block_until_ready timing and an *empirically measured* HBM speed-of-light:
-the roofline denominator is what a pure streaming kernel actually achieves
-on this chip, not a datasheet number — the same spirit as the reference
-benchmarking its own transfer overlap rather than quoting specs.
+Measurement methodology (important on remote-attached TPUs): per-dispatch
+latency through the runtime can be milliseconds and `block_until_ready` may
+acknowledge before device completion. So every timing here:
+
+  1. iterates the op M times *inside one jitted program* with
+     `lax.optimization_barrier` between iterations (prevents fusion/DCE),
+  2. forces completion by fetching a scalar probe that data-depends on the
+     final iterate,
+  3. uses the delta between a large and a small M to cancel dispatch,
+     fetch, and program-entry overhead,
+  4. repeats and takes the minimum (the noise floor is one-sided).
+
+This replaces the reference's cudaEvent harness
+(tests/test_gpu_benchmark/test_gpu_benchmark.cpp:96-126) — events don't
+exist here, but in-program iteration gives the same isolation.
 """
 
 from __future__ import annotations
@@ -13,49 +22,72 @@ from __future__ import annotations
 import json
 import time
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:
-    """Median wall seconds per call (compile excluded by warmup)."""
-    for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+def _probe(tree):
+    """Cheap scalar that depends on every leaf of the output."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    acc = jnp.zeros((), jnp.float32)
+    for leaf in leaves:
+        acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+    return acc
 
 
-def measure_hbm_bandwidth(nbytes: int = 1 << 29, dtype=jnp.float32) -> float:
-    """Empirical HBM speed-of-light: bytes/s of y = x + 1 over a large array
-    (reads + writes nbytes each → 2*nbytes moved)."""
+def time_iterated(step_fn, x0, iters: int = 32, iters_small: int = 4,
+                  reps: int = 3) -> float:
+    """Seconds per application of step_fn (x -> x-like), delta method."""
+
+    @partial(jax.jit, static_argnums=(1,))
+    def runner(x, m):
+        def body(_, x):
+            return jax.tree_util.tree_map(
+                jax.lax.optimization_barrier, step_fn(x)
+            )
+        out = jax.lax.fori_loop(0, m, body, x)
+        return _probe(out)
+
+    def fetch(m):
+        return float(runner(x0, m))
+
+    fetch(iters_small)  # compile small
+    fetch(iters)        # compile large
+
+    def tmin(m):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fetch(m)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_small = tmin(iters_small)
+    t_large = tmin(iters)
+    per = (t_large - t_small) / (iters - iters_small)
+    return max(per, 1e-9)
+
+
+def measure_hbm_bandwidth(nbytes: int = 1 << 27, dtype=jnp.float32) -> float:
+    """Empirical HBM speed-of-light: bytes/s of x *= c streaming passes."""
     n = nbytes // jnp.dtype(dtype).itemsize
-    x = jnp.arange(n, dtype=dtype)
-
-    @jax.jit
-    def copy_add(x):
-        return x + 1.0
-
-    t = time_fn(copy_add, x, warmup=2, iters=5)
-    return 2 * nbytes / t
+    x = jnp.full((n,), 1.0, dtype)
+    per = time_iterated(lambda v: v * 1.0000001, x, iters=36, iters_small=4)
+    return 2 * nbytes / per
 
 
 def spmv_bytes(nnz: int, nrows: int, ncols: int, dtype_size: int = 4,
                index_size: int = 4) -> int:
-    """Minimum HBM traffic for one CSR SpMV (the roofline numerator):
-    data + column indices + one read of x + one write of y + indptr."""
+    """Minimum HBM traffic for one CSR SpMV (roofline numerator):
+    values + column indices + one read of x + one write of y + indptr."""
     return (
-        nnz * (dtype_size + index_size)   # values + indices
-        + ncols * dtype_size              # x read (perfect reuse)
-        + nrows * dtype_size              # y write
-        + (nrows + 1) * index_size        # indptr
+        nnz * (dtype_size + index_size)
+        + ncols * dtype_size
+        + nrows * dtype_size
+        + (nrows + 1) * index_size
     )
 
 
@@ -74,15 +106,15 @@ class BenchResult:
         return json.dumps(d)
 
 
-def bench_spmv(spmv_fn, A_container, x, nnz: int, nrows: int, ncols: int,
-               hbm_bytes_per_s: float, iters: int = 20) -> dict:
-    """Time an SpMV callable and compute roofline stats."""
-    t = time_fn(spmv_fn, A_container, x, warmup=3, iters=iters)
+def bench_spmv_square(matvec, x0, nnz: int, nrows: int, ncols: int,
+                      hbm_bytes_per_s: float, iters: int = 32) -> dict:
+    """Roofline stats for a square-matrix matvec (chained x -> A@x)."""
+    per = time_iterated(matvec, x0, iters=iters, iters_small=4)
     bytes_moved = spmv_bytes(nnz, nrows, ncols)
     return dict(
-        seconds=t,
-        gflops=2 * nnz / t / 1e9,
-        nnz_per_s=nnz / t,
-        achieved_bytes_per_s=bytes_moved / t,
-        roofline_fraction=(bytes_moved / t) / hbm_bytes_per_s,
+        seconds=per,
+        gflops=2 * nnz / per / 1e9,
+        nnz_per_s=nnz / per,
+        achieved_bytes_per_s=bytes_moved / per,
+        roofline_fraction=(bytes_moved / per) / hbm_bytes_per_s,
     )

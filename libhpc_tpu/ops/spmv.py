@@ -60,3 +60,24 @@ def bsr_spmv(bsr, x):
 def coo_spmv(coo, x):
     prod = coo.data * x[coo.col]
     return jax.ops.segment_sum(prod, coo.row, num_segments=coo.shape[0])
+
+
+@jax.jit
+def dia_spmv(dia, x):
+    """y = A @ x for DIA A — zero-gather shifted multiply-adds.
+
+    Each static diagonal offset o contributes
+      y[j - o] += data[d, j] * x[j]   for valid columns j
+    which is a pair of static slices: pure streaming, no index traffic.
+    """
+    m, n = dia.shape
+    y = jnp.zeros((m,), dia.data.dtype)
+    for d, o in enumerate(dia.offsets):
+        # valid columns j: max(0, o) <= j < min(n, m + o)
+        j0 = max(0, o)
+        j1 = min(n, m + o)
+        if j1 <= j0:
+            continue
+        contrib = dia.data[d, j0:j1] * x[j0:j1]
+        y = y.at[j0 - o : j1 - o].add(contrib)
+    return y

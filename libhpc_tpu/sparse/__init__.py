@@ -2,3 +2,4 @@ from libhpc_tpu.sparse.coo import COO  # noqa: F401
 from libhpc_tpu.sparse.csr import CSR  # noqa: F401
 from libhpc_tpu.sparse.bsr import BSR  # noqa: F401
 from libhpc_tpu.sparse.ell import ELL  # noqa: F401
+from libhpc_tpu.sparse.dia import DIA  # noqa: F401

@@ -39,11 +39,17 @@ class ELL:
 
     @staticmethod
     def from_csr(csr, max_nnz_per_row: int | None = None, pad_multiple: int = 8) -> "ELL":
-        """Pack CSR into ELL (host-side shape decision, jitted fill).
+        """Pack CSR into ELL.
 
-        k is rounded up to ``pad_multiple`` for sublane alignment.
+        Setup transform — runs host-side in numpy (one-time cost; keeps the
+        accelerator out of the conversion path entirely). k is rounded up to
+        ``pad_multiple`` for sublane alignment.
         """
-        actual_max = csr.max_row_length()
+        indptr = np.asarray(csr.indptr)
+        indices = np.asarray(csr.indices)
+        data = np.asarray(csr.data)
+        lengths = np.diff(indptr)
+        actual_max = int(lengths.max()) if lengths.size else 0
         if max_nnz_per_row is None:
             max_nnz_per_row = actual_max
         elif max_nnz_per_row < actual_max:
@@ -52,7 +58,15 @@ class ELL:
                 f"{actual_max}; entries would be dropped"
             )
         k = max(1, -(-max_nnz_per_row // pad_multiple) * pad_multiple)
-        return _ell_fill(csr, k)
+        nrows = csr.shape[0]
+        slot = np.arange(k, dtype=np.int64)[None, :]
+        src = indptr[:-1, None].astype(np.int64) + slot
+        valid = slot < lengths[:, None]
+        src = np.where(valid, src, 0)
+        cols = np.where(valid, indices[src], 0).astype(np.int32)
+        vals = np.where(valid, data[src], 0).astype(data.dtype)
+        return ELL(vals=jnp.asarray(vals), cols=jnp.asarray(cols),
+                   shape=csr.shape)
 
     @staticmethod
     def from_scipy(sp, pad_multiple: int = 8) -> "ELL":
@@ -74,17 +88,3 @@ class ELL:
         return sps.csr_matrix(np.asarray(self.todense()))
 
 
-from functools import partial
-
-
-@partial(jax.jit, static_argnums=(1,))
-def _ell_fill(csr, k: int) -> ELL:
-    nrows = csr.shape[0]
-    lengths = csr.row_lengths()
-    slot = jnp.arange(k, dtype=jnp.int32)[None, :]
-    src = csr.indptr[:-1, None] + slot
-    valid = slot < lengths[:, None]
-    src = jnp.where(valid, src, 0)
-    cols = jnp.where(valid, csr.indices[src], 0).astype(jnp.int32)
-    vals = jnp.where(valid, csr.data[src], 0)
-    return ELL(vals=vals, cols=cols, shape=csr.shape)

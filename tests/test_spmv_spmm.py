@@ -99,3 +99,34 @@ def test_bsr_spmm(rng):
     got = np.asarray(spmm.bsr_spmm(BSR.from_scipy(sp, block=8),
                                    jnp.asarray(B)))
     np.testing.assert_allclose(got, sp @ B, rtol=1e-4, atol=1e-3)
+
+
+# ---- DIA (zero-gather fast path) -------------------------------------------
+
+def test_dia_roundtrip():
+    A = poisson2d(12)
+    from libhpc_tpu.sparse import DIA
+    dia = DIA.from_scipy(A)
+    np.testing.assert_allclose(np.asarray(dia.todense()), A.toarray(),
+                               rtol=1e-6)
+    back = dia.to_scipy()
+    assert abs(back - A).max() < 1e-6
+
+
+def test_dia_spmv(rng):
+    from libhpc_tpu.sparse import DIA
+    from libhpc_tpu.ops.spmv import dia_spmv
+    A = poisson2d(16)
+    x = rng.random(A.shape[1]).astype(np.float32)
+    got = np.asarray(dia_spmv(DIA.from_scipy(A), jnp.asarray(x)))
+    np.testing.assert_allclose(got, A @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_dia_spmv_nonsquare(rng):
+    from libhpc_tpu.sparse import DIA
+    from libhpc_tpu.ops.spmv import dia_spmv
+    A = sps.random(40, 60, density=0.1, format="csr", dtype=np.float32,
+                   random_state=np.random.RandomState(21))
+    x = rng.random(60).astype(np.float32)
+    got = np.asarray(dia_spmv(DIA.from_scipy(A), jnp.asarray(x)))
+    np.testing.assert_allclose(got, A @ x, rtol=1e-4, atol=1e-4)
