@@ -1,0 +1,184 @@
+"""Micro-benchmark corpus — the TPU re-expression of the reference's
+google-benchmark workload suite (tests/test_hpc_benchmark/
+test_hpc_benchmark.cpp, SURVEY.md §2.20): stream/layout sweeps, stencil
+blurs, transpose, matmul, convolution, sparse-grid particle writes, sort,
+plus this build's SpMV formats.
+
+Run:  python -m libhpc_tpu.bench.corpus [name ...]
+Emits one JSON line per benchmark: {"bench": ..., "ms": ..., ...}.
+All timings use the barrier/delta harness (see harness.py).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libhpc_tpu.bench.harness import time_iterated
+
+
+def _emit(name: str, per_s: float, **extra):
+    d = {"bench": name, "ms": round(per_s * 1e3, 4)}
+    d.update({k: (round(v, 3) if isinstance(v, float) else v)
+              for k, v in extra.items()})
+    print(json.dumps(d), flush=True)
+
+
+def bench_stream():
+    n = 1 << 25  # 128 MB
+    x = jnp.full((n,), 1.0, jnp.float32)
+    per = time_iterated(lambda v: v * 1.0000001, x, iters=36, iters_small=4)
+    _emit("stream_mul_128MB", per, gb_per_s=2 * n * 4 / per / 1e9)
+
+
+def bench_transpose():
+    from libhpc_tpu.ops.transpose import transpose_pallas
+
+    x = jnp.ones((8192, 8192), jnp.float32)
+    per = time_iterated(lambda v: v.T.copy() if False else jnp.swapaxes(v, 0, 1) + 0.0,
+                        x, iters=16, iters_small=2)
+    _emit("transpose_xla_8k", per, gb_per_s=2 * x.nbytes / per / 1e9)
+    per = time_iterated(transpose_pallas, x, iters=16, iters_small=2)
+    _emit("transpose_pallas_8k", per, gb_per_s=2 * x.nbytes / per / 1e9)
+
+
+def bench_matmul():
+    """Reference scale: 1024×1024 blocked matmul (test_hpc_benchmark.cpp:758)."""
+    for n in (1024, 8192):
+        a = jnp.ones((n, n), jnp.float32)
+        per = time_iterated(lambda v: (v @ v) * 1e-3, a, iters=16,
+                            iters_small=2)
+        _emit(f"matmul_f32_{n}", per, tflops=2 * n ** 3 / per / 1e12)
+        ab = a.astype(jnp.bfloat16)
+        per = time_iterated(lambda v: (v @ v) * jnp.bfloat16(1e-3), ab,
+                            iters=16, iters_small=2)
+        _emit(f"matmul_bf16_{n}", per, tflops=2 * n ** 3 / per / 1e12)
+
+
+def bench_conv():
+    """Reference scale: 1024² image, 16×16 kernel (test_hpc_benchmark.cpp:793)."""
+    img = jnp.ones((1, 1, 1024, 1024), jnp.float32)
+    ker = jnp.ones((1, 1, 16, 16), jnp.float32)
+
+    def conv(v):
+        out = jax.lax.conv_general_dilated(v, ker, (1, 1), "SAME")
+        return v + out * 1e-9
+
+    per = time_iterated(conv, img, iters=8, iters_small=2)
+    _emit("conv2d_1024_k16", per,
+          gflops=2 * 1024 * 1024 * 256 / per / 1e9)
+
+
+def bench_blur():
+    """Reference scale: 8192², radius 8 (test_hpc_benchmark.cpp:29-33)."""
+    from libhpc_tpu.ops.stencil import blur2d, blur2d_pallas
+
+    a = jnp.ones((8192, 8192), jnp.float32)
+    per = time_iterated(lambda v: blur2d(v, 8) * 0.0588 / 17.0 + 0.0, a,
+                        iters=8, iters_small=2)
+    _emit("blur2d_xla_8192_r8", per, gb_per_s=2 * a.nbytes / per / 1e9)
+    per = time_iterated(lambda v: blur2d_pallas(v, 8) * 0.0588 / 17.0, a,
+                        iters=8, iters_small=2)
+    _emit("blur2d_pallas_8192_r8", per, gb_per_s=2 * a.nbytes / per / 1e9)
+
+
+def bench_sort():
+    """Reference CPU-test scale: 10M uint32 (test_radixsort_v1.cc)."""
+    from libhpc_tpu.ops.sort import sort_u32
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 1 << 32, 10_000_000, dtype=np.uint32))
+
+    def step(v):
+        s = sort_u32(v)
+        return jnp.roll(s, 1)  # perturb so next iteration re-sorts
+
+    per = time_iterated(step, x, iters=8, iters_small=2)
+    _emit("sort_u32_10M", per, gelem_per_s=1e7 / per / 1e9)
+
+
+def bench_scan_hist():
+    from libhpc_tpu.ops.scan import exclusive_scan_pallas
+    from libhpc_tpu.ops.histogram import histogram_pallas
+
+    x = jnp.ones((1 << 22,), jnp.float32)
+    per = time_iterated(lambda v: exclusive_scan_pallas(v) * 1e-9, x,
+                        iters=8, iters_small=2)
+    _emit("exclusive_scan_pallas_4M", per, gb_per_s=2 * x.nbytes / per / 1e9)
+
+    xi = jnp.zeros((1 << 22,), jnp.int32)
+
+    def hstep(v):
+        h = histogram_pallas(v, 256)
+        return v + (h[0] * 0).astype(v.dtype)
+
+    per = time_iterated(hstep, xi, iters=8, iters_small=2)
+    _emit("histogram_pallas_4M", per, gelem_per_s=(1 << 22) / per / 1e9)
+
+
+def bench_spmv():
+    from libhpc_tpu.bench.matrices import poisson2d
+    from libhpc_tpu.sparse import CSR, ELL, DIA
+    from libhpc_tpu.ops import spmv
+
+    A = poisson2d(512)  # 262k rows, 1.3M nnz
+    csr = CSR.from_scipy(A)
+    nnz = A.nnz
+    x = jnp.ones((A.shape[0],), jnp.float32)
+    dia = DIA.from_scipy(A)
+    per = time_iterated(lambda v: spmv.dia_spmv(dia, v), x, iters=32,
+                        iters_small=4)
+    _emit("spmv_dia_poisson512", per, gnnz_per_s=nnz / per / 1e9)
+    ell = ELL.from_csr(csr)
+    per = time_iterated(lambda v: spmv.ell_spmv(ell, v), x, iters=8,
+                        iters_small=2)
+    _emit("spmv_ell_poisson512", per, gnnz_per_s=nnz / per / 1e9)
+
+
+def bench_particle_writes():
+    """Reference scale: 2^20 scattered writes (test_hpc_benchmark.cpp:866)."""
+    from libhpc_tpu.sparse.grid import BlockGrid
+
+    rng = np.random.default_rng(0)
+    n = 1 << 20
+    xs = jnp.asarray(rng.integers(0, 4096, n), dtype=jnp.int32)
+    ys = jnp.asarray(rng.integers(0, 4096, n), dtype=jnp.int32)
+    vals = jnp.ones((n,), jnp.float32)
+    g = BlockGrid.create((256, 256), block_size=16, capacity=65536)
+    g = g.touch_batch(xs, ys)
+
+    def step(g):
+        return g.write_batch(xs, ys, vals)
+
+    per = time_iterated(step, g, iters=8, iters_small=2)
+    _emit("particle_writes_1M", per, gwrites_per_s=n / per / 1e9)
+
+
+ALL = {
+    "stream": bench_stream,
+    "transpose": bench_transpose,
+    "matmul": bench_matmul,
+    "conv": bench_conv,
+    "blur": bench_blur,
+    "sort": bench_sort,
+    "scan_hist": bench_scan_hist,
+    "spmv": bench_spmv,
+    "particles": bench_particle_writes,
+}
+
+
+def main(argv):
+    names = argv or list(ALL)
+    for n in names:
+        try:
+            ALL[n]()
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"bench": n, "error": str(e)}), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,71 @@
+"""Weak-scaling SpMV benchmark (BASELINE.md: ≥85% nnz/s efficiency at 2+
+hosts; configs[4]: multi-host SpMV on a 100M-nnz-class matrix).
+
+Weak scaling: each shard owns a fixed number of rows of a Poisson-band
+system; efficiency = (nnz/s at n shards) / (n × nnz/s at 1 shard).
+
+Run: python -m libhpc_tpu.bench.scaling [rows_per_shard] [max_devices]
+On the CPU simulation mesh this validates the scaling harness; real
+efficiency numbers need a pod slice.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def run(rows_per_shard: int = 65536, max_devices: int = 8):
+    import numpy as np
+
+    from libhpc_tpu.bench.harness import time_iterated
+    from libhpc_tpu.bench.matrices import poisson2d
+    from libhpc_tpu.parallel.mesh import make_mesh_1d, force_cpu_devices
+    from libhpc_tpu.parallel.dist_spmv import DistCSR, dist_spmv_fn
+
+    if len(jax.devices()) < max_devices:
+        force_cpu_devices(max_devices)
+
+    out = {}
+    base_nnz_rate = None
+    sizes = [1]
+    d = 2
+    while d <= max_devices:
+        sizes.append(d)
+        d *= 2
+    for nd in sizes:
+        n_rows = rows_per_shard * nd
+        g = int(np.sqrt(n_rows))
+        A = poisson2d(g)
+        nnz = A.nnz
+        mesh = make_mesh_1d(nd)
+        dA = DistCSR.from_scipy(A, nd).shard(mesh)
+        matvec = dist_spmv_fn(dA, mesh)
+        x = jax.device_put(
+            jnp.ones((dA.shape[0],), jnp.float32), NamedSharding(mesh, P("x"))
+        )
+        per = time_iterated(matvec, x, iters=16, iters_small=2)
+        rate = nnz / per
+        if base_nnz_rate is None:
+            base_nnz_rate = rate
+        out[nd] = dict(
+            ms=round(per * 1e3, 3),
+            gnnz_per_s=round(rate / 1e9, 3),
+            efficiency=round(rate / (base_nnz_rate * nd), 3),
+        )
+    print(json.dumps({
+        "bench": "weak_scaling_spmv",
+        "rows_per_shard": rows_per_shard,
+        "results": out,
+        "platform": jax.devices()[0].platform,
+    }))
+    return out
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    run(*args)

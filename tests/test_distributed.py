@@ -116,3 +116,21 @@ def test_dist_cg(rng):
     x, it, res = dist_cg(dA, bs, mesh, tol=1e-5, max_iter=2000)
     assert int(it) < 2000
     np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-2, atol=1e-2)
+
+
+@needs_8
+@pytest.mark.slow
+def test_overlap_bench_runs(capsys):
+    from libhpc_tpu.bench import overlap
+
+    eff = overlap.run(8, 256, 256, 2)
+    assert eff > 0
+
+
+@needs_8
+@pytest.mark.slow
+def test_scaling_bench_runs(capsys):
+    from libhpc_tpu.bench import scaling
+
+    out = scaling.run(2048, 4)
+    assert out[1]["gnnz_per_s"] > 0
