@@ -34,7 +34,9 @@ def _probe(tree):
     leaves = jax.tree_util.tree_leaves(tree)
     acc = jnp.zeros((), jnp.float32)
     for leaf in leaves:
-        acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+        # full reduction (not a slice): stays legal on sharded arrays,
+        # and still data-depends on every element of the output
+        acc = acc + jnp.sum(leaf).astype(jnp.float32)
     return acc
 
 
