@@ -145,3 +145,20 @@ def blur2d_pallas(a, radius: int = 8, tile_m: int = 256):
         interpret=interpret_mode(),
     )(ap)
     return out[:m, :n]
+
+
+@jax.jit
+def poisson7_apply(u):
+    """Matrix-free 7-point 3D Poisson operator: 6u - sum of 6 face
+    neighbors, zero Dirichlet halo. Matches
+    libhpc_tpu.bench.matrices.poisson3d."""
+    up = jnp.pad(u, 1)
+    return (
+        6.0 * u
+        - up[:-2, 1:-1, 1:-1]
+        - up[2:, 1:-1, 1:-1]
+        - up[1:-1, :-2, 1:-1]
+        - up[1:-1, 2:, 1:-1]
+        - up[1:-1, 1:-1, :-2]
+        - up[1:-1, 1:-1, 2:]
+    )

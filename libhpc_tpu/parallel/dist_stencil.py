@@ -73,3 +73,38 @@ def dist_poisson_fn(mesh: Mesh, axis: str = "x"):
     return jax.jit(
         jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
     )
+
+
+def dist_poisson3d_fn(mesh: Mesh, axis: str = "x"):
+    """Distributed matrix-free 7-point 3D Poisson on a (z, y, x)-grid
+    sharded along the leading z axis (configs[3]: 3D stencil across chips).
+
+    The halo machinery is 2D-agnostic in its leading axis; the stencil body
+    treats each shard as (z_local + 2, y, x)."""
+
+    def p7(padded):
+        u = padded[1:-1]
+        up = jnp.pad(u, ((0, 0), (1, 1), (1, 1)))
+        return (
+            6.0 * u
+            - padded[:-2]
+            - padded[2:]
+            - up[:, :-2, 1:-1]
+            - up[:, 2:, 1:-1]
+            - up[:, 1:-1, :-2]
+            - up[:, 1:-1, 2:]
+        )
+
+    def body(x):
+        top, bot = _halo.exchange_halo_1d(
+            x.reshape(x.shape[0], -1), 1, axis
+        )
+        padded = jnp.concatenate(
+            [top.reshape(1, *x.shape[1:]), x, bot.reshape(1, *x.shape[1:])],
+            axis=0,
+        )
+        return p7(padded)
+
+    return jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    )

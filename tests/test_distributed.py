@@ -134,3 +134,18 @@ def test_scaling_bench_runs(capsys):
 
     out = scaling.run(2048, 4)
     assert out[1]["gnnz_per_s"] > 0
+
+
+@needs_8
+def test_dist_poisson3d(rng):
+    from libhpc_tpu.ops.stencil import poisson7_apply
+    from libhpc_tpu.parallel.dist_stencil import dist_poisson3d_fn
+
+    mesh = meshmod.make_mesh_1d(8)
+    u = rng.random((32, 16, 16)).astype(np.float32)
+    f = dist_poisson3d_fn(mesh)
+    us = jax.device_put(jnp.asarray(u), NamedSharding(mesh, P("x")))
+    got = np.asarray(f(us))
+    np.testing.assert_allclose(
+        got, np.asarray(poisson7_apply(jnp.asarray(u))), rtol=1e-4, atol=1e-4
+    )

@@ -64,3 +64,14 @@ def test_poisson5_matches_csr(rng):
     got = np.asarray(stencil.poisson5_apply(jnp.asarray(u)))
     expect = (A @ u.ravel()).reshape(n, n)
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_poisson7_matches_csr(rng):
+    from libhpc_tpu.bench.matrices import poisson3d
+
+    n = 10
+    A = poisson3d(n)
+    u = rng.random((n, n, n)).astype(np.float32)
+    got = np.asarray(stencil.poisson7_apply(jnp.asarray(u)))
+    expect = (A @ u.ravel()).reshape(n, n, n)
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
