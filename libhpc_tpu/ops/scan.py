@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from libhpc_tpu.ops._pallas_utils import LANE, cdiv, interpret_mode
+from libhpc_tpu.ops._pallas_utils import LANE, cdiv, interpret_mode, tile_cumsum
 
 SUBLANES = 8
 TILE = SUBLANES * LANE  # 1024 elements per grid step — same fan-in as the ref
@@ -52,12 +52,14 @@ def _scan_tile_kernel(x_ref, o_ref, carry_ref):
         carry_ref[0, 0] = jnp.zeros((), x_ref.dtype)
 
     x = x_ref[0]                                   # (8, 128)
-    lane_inc = jnp.cumsum(x, axis=1)               # within-row inclusive scan
-    row_tot = lane_inc[:, -1:]                     # (8, 1) row sums
-    row_excl = jnp.cumsum(row_tot, axis=0) - row_tot  # exclusive over rows
+    lane_inc = tile_cumsum(x, axis=1)              # within-row inclusive scan
+    # row-level scan: broadcast row totals to full lane width first —
+    # Mosaic rejects shift-concats on (8, 1) arrays
+    row_tot_b = jnp.broadcast_to(lane_inc[:, LANE - 1 : LANE], x.shape)
+    row_excl = tile_cumsum(row_tot_b, axis=0) - row_tot_b  # exclusive rows
     carry = carry_ref[0, 0]
     o_ref[0] = carry + row_excl + (lane_inc - x)   # exclusive result
-    carry_ref[0, 0] = carry + jnp.sum(row_tot)
+    carry_ref[0, 0] = carry + jnp.sum(x)
 
 
 @partial(jax.jit, static_argnames=())

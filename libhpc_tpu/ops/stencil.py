@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from libhpc_tpu.ops._pallas_utils import LANE, cdiv, interpret_mode
+from libhpc_tpu.ops._pallas_utils import LANE, cdiv, interpret_mode, tile_cumsum
 
 
 @partial(jax.jit, static_argnames=("radius", "axis"))
@@ -100,7 +100,7 @@ def _blur2d_kernel(a_hbm, o_ref, win_ref, sem, *, tile_m, radius, n_pad):
     dma.wait()
     w = win_ref[:]  # (tile_m + 2r, n_pad) — columns already zero-padded by r
     # X pass: cumsum along lanes, windowed difference
-    cx = jnp.cumsum(w, axis=1)
+    cx = tile_cumsum(w, axis=1)
     hi = cx[:, 2 * r:]
     lo = jnp.concatenate([jnp.zeros((w.shape[0], 1), w.dtype), cx[:, : -2 * r - 1]], axis=1)
     bx = hi - lo  # (tile_m + 2r, n_pad - 2r)
@@ -109,7 +109,7 @@ def _blur2d_kernel(a_hbm, o_ref, win_ref, sem, *, tile_m, radius, n_pad):
         [bx, jnp.zeros((w.shape[0], 2 * r), w.dtype)], axis=1
     )  # (tile_m + 2r, n_pad)
     # Y pass over sublanes
-    cy = jnp.cumsum(bx, axis=0)
+    cy = tile_cumsum(bx, axis=0)
     hi_y = cy[2 * r:, :]
     lo_y = jnp.concatenate([jnp.zeros((1, bx.shape[1]), w.dtype), cy[: -2 * r - 1, :]], axis=0)
     o_ref[:] = hi_y - lo_y
