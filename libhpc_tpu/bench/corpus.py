@@ -158,8 +158,38 @@ def bench_particle_writes():
     _emit("particle_writes_1M", per, gwrites_per_s=n / per / 1e9)
 
 
+def bench_layout():
+    """AOS vs SOA layout sweep — the reference's layout benchmarks
+    (test_hpc_benchmark.cpp:35-144) re-expressed: interleaved (N, 3)
+    'array of structs' vs three planar arrays for a saxpy-like particle
+    update. On TPU the planar (SOA) layout keeps the lane dimension dense;
+    the interleaved layout forces strided access."""
+    n = 1 << 22
+
+    aos = jnp.ones((n, 3), jnp.float32)
+
+    def step_aos(p):
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        r = x * 1.1 + y * 0.9 + z
+        return jnp.stack([x + r * 1e-9, y, z], axis=1)
+
+    per = time_iterated(step_aos, aos, iters=16, iters_small=2)
+    _emit("layout_aos_4M", per, gb_per_s=2 * aos.nbytes / per / 1e9)
+
+    soa = (jnp.ones((n,), jnp.float32),) * 3
+
+    def step_soa(p):
+        x, y, z = p
+        r = x * 1.1 + y * 0.9 + z
+        return (x + r * 1e-9, y, z)
+
+    per = time_iterated(step_soa, soa, iters=16, iters_small=2)
+    _emit("layout_soa_4M", per, gb_per_s=2 * 3 * n * 4 / per / 1e9)
+
+
 ALL = {
     "stream": bench_stream,
+    "layout": bench_layout,
     "transpose": bench_transpose,
     "matmul": bench_matmul,
     "conv": bench_conv,
