@@ -25,7 +25,7 @@ def run(rows_per_shard: int = 65536, max_devices: int = 8):
     from libhpc_tpu.bench.harness import time_iterated
     from libhpc_tpu.bench.matrices import poisson2d
     from libhpc_tpu.parallel.mesh import make_mesh_1d, force_cpu_devices
-    from libhpc_tpu.parallel.dist_spmv import DistCSR, dist_spmv_fn
+    from libhpc_tpu.parallel.dist_dia import DistDIA, dist_dia_spmv_fn
 
     if len(jax.devices()) < max_devices:
         force_cpu_devices(max_devices)
@@ -43,8 +43,8 @@ def run(rows_per_shard: int = 65536, max_devices: int = 8):
         A = poisson2d(g)
         nnz = A.nnz
         mesh = make_mesh_1d(nd)
-        dA = DistCSR.from_scipy(A, nd).shard(mesh)
-        matvec = dist_spmv_fn(dA, mesh)
+        dA = DistDIA.from_scipy(A, nd).shard(mesh)
+        matvec = dist_dia_spmv_fn(dA, mesh)  # halo-exchange banded path
         x = jax.device_put(
             jnp.ones((dA.shape[0],), jnp.float32), NamedSharding(mesh, P("x"))
         )

@@ -149,3 +149,58 @@ def test_dist_poisson3d(rng):
     np.testing.assert_allclose(
         got, np.asarray(poisson7_apply(jnp.asarray(u))), rtol=1e-4, atol=1e-4
     )
+
+
+@needs_8
+def test_dist_dia_spmv_poisson(rng):
+    from libhpc_tpu.parallel.dist_dia import DistDIA, dist_dia_spmv_fn
+
+    mesh = meshmod.make_mesh_1d(8)
+    A = poisson2d(16)  # 256 rows, bandwidth 16 <= 32 rows/shard
+    dA = DistDIA.from_scipy(A, 8).shard(mesh)
+    x = rng.random(A.shape[0]).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("x")))
+    got = np.asarray(dist_dia_spmv_fn(dA, mesh)(xs))
+    np.testing.assert_allclose(got, A @ x, rtol=1e-4, atol=1e-4)
+
+
+@needs_8
+def test_dist_dia_nonmultiple_rows(rng):
+    from libhpc_tpu.parallel.dist_dia import DistDIA, dist_dia_spmv_fn
+    import scipy.sparse as sps2
+
+    # 100 rows pads to 104; tridiagonal so bandwidth 1
+    n = 100
+    A = sps2.diags([np.full(n - 1, -1.0), np.full(n, 2.0),
+                    np.full(n - 1, -1.0)], [-1, 0, 1]).tocsr().astype(np.float32)
+    mesh = meshmod.make_mesh_1d(8)
+    dA = DistDIA.from_scipy(A, 8).shard(mesh)
+    x = np.zeros(dA.shape[0], np.float32)
+    x[:n] = rng.random(n).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("x")))
+    got = np.asarray(dist_dia_spmv_fn(dA, mesh)(xs))
+    np.testing.assert_allclose(got[:n], A @ x[:n], rtol=1e-4, atol=1e-4)
+
+
+@needs_8
+def test_dist_dia_cg(rng):
+    from libhpc_tpu.parallel.dist_dia import DistDIA, dist_dia_cg
+
+    mesh = meshmod.make_mesh_1d(8)
+    A = poisson2d(16)
+    dA = DistDIA.from_scipy(A, 8).shard(mesh)
+    x_true = rng.random(A.shape[0]).astype(np.float32)
+    bs = jax.device_put(jnp.asarray(A @ x_true), NamedSharding(mesh, P("x")))
+    x, it, _ = dist_dia_cg(dA, bs, mesh, tol=1e-5, max_iter=2000)
+    assert int(it) < 2000
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-2, atol=1e-2)
+
+
+@needs_8
+def test_dist_dia_bandwidth_guard():
+    from libhpc_tpu.parallel.dist_dia import DistDIA
+
+    A = poisson2d(64)  # 4096 rows, bandwidth 64 > 4096/8? no: 512 rows/shard
+    DistDIA.from_scipy(A, 8)  # fine
+    with pytest.raises(ValueError):
+        DistDIA.from_scipy(poisson2d(8), 32)  # 2 rows/shard < bandwidth 8
