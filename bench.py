@@ -48,16 +48,18 @@ def main():
 
     hbm = harness.measure_hbm_bandwidth()
 
+    # iteration counts sized to each path's expected speed so the whole
+    # bench stays under a few minutes through the remote relay
     paths = {
-        "dia": lambda x: spmv.dia_spmv(dia, x),
-        "ell": lambda x: spmv.ell_spmv(ell, x),
-        "csr": lambda x: spmv.csr_spmv(csr, x),
+        "dia": (lambda x: spmv.dia_spmv(dia, x), 32),
+        "ell": (lambda x: spmv.ell_spmv(ell, x), 8),
+        "csr": (lambda x: spmv.csr_spmv(csr, x), 4),
     }
     results = {}
-    for name, fn in paths.items():
+    for name, (fn, iters) in paths.items():
         try:
             results[name] = harness.bench_spmv_square(
-                fn, x0, nnz, nrows, ncols, hbm, iters=32
+                fn, x0, nnz, nrows, ncols, hbm, iters=iters
             )
         except Exception as e:  # noqa: BLE001
             results[name] = dict(error=str(e), roofline_fraction=0.0)

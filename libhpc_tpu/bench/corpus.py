@@ -61,12 +61,15 @@ def bench_matmul():
 
 def bench_conv():
     """Reference scale: 1024² image, 16×16 kernel (test_hpc_benchmark.cpp:793)."""
-    img = jnp.ones((1, 1, 1024, 1024), jnp.float32)
-    ker = jnp.ones((1, 1, 16, 16), jnp.float32)
+    img = jnp.ones((1, 1024, 1024, 1), jnp.float32)
+    ker = jnp.ones((16, 16, 1, 1), jnp.float32)
 
     def conv(v):
-        out = jax.lax.conv_general_dilated(v, ker, (1, 1), "SAME")
-        return v + out * 1e-9
+        out = jax.lax.conv_general_dilated(
+            v, ker, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return v * 0.5 + out * 1e-3
 
     per = time_iterated(conv, img, iters=8, iters_small=2)
     _emit("conv2d_1024_k16", per,
@@ -171,7 +174,7 @@ def bench_layout():
     def step_aos(p):
         x, y, z = p[:, 0], p[:, 1], p[:, 2]
         r = x * 1.1 + y * 0.9 + z
-        return jnp.stack([x + r * 1e-9, y, z], axis=1)
+        return jnp.stack([x + r * 1e-3, y * 1.0000001, z * 0.9999999], axis=1)
 
     per = time_iterated(step_aos, aos, iters=16, iters_small=2)
     _emit("layout_aos_4M", per, gb_per_s=2 * aos.nbytes / per / 1e9)
@@ -181,7 +184,7 @@ def bench_layout():
     def step_soa(p):
         x, y, z = p
         r = x * 1.1 + y * 0.9 + z
-        return (x + r * 1e-9, y, z)
+        return (x + r * 1e-3, y * 1.0000001, z * 0.9999999)
 
     per = time_iterated(step_soa, soa, iters=16, iters_small=2)
     _emit("layout_soa_4M", per, gb_per_s=2 * 3 * n * 4 / per / 1e9)

@@ -111,7 +111,8 @@ class BenchResult:
 def bench_spmv_square(matvec, x0, nnz: int, nrows: int, ncols: int,
                       hbm_bytes_per_s: float, iters: int = 32) -> dict:
     """Roofline stats for a square-matrix matvec (chained x -> A@x)."""
-    per = time_iterated(matvec, x0, iters=iters, iters_small=4)
+    per = time_iterated(matvec, x0, iters=iters,
+                        iters_small=max(1, iters // 8))
     bytes_moved = spmv_bytes(nnz, nrows, ncols)
     return dict(
         seconds=per,
