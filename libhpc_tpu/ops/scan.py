@@ -28,7 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 from libhpc_tpu.ops._pallas_utils import LANE, cdiv, interpret_mode, tile_cumsum
 
 SUBLANES = 8
-TILE = SUBLANES * LANE  # 1024 elements per grid step — same fan-in as the ref
+WIDE = 512              # lanes per row (4 lane-tiles); 8×512 = 4k elements
+TILE = SUBLANES * WIDE  # per grid step — wide rows keep the shift-add scan
+                        # static (fast Mosaic compiles) while amortizing the
+                        # sequential-grid step overhead
 
 
 @jax.jit
@@ -44,21 +47,26 @@ def inclusive_scan(x):
 
 
 def _scan_tile_kernel(x_ref, o_ref, carry_ref):
-    """One 1024-element tile: hierarchical in-tile scan + carry propagation."""
+    """One (SUBLANES, 128) block per grid step: an in-kernel fori_loop walks
+    8-row chunks (the proven Mosaic-compatible scan shape), carrying the
+    running prefix in a loop value; the cross-block carry lives in SMEM.
+    This is the reference's hierarchical upsweep/downsweep
+    (cuda_hierarchical_exclusive_scan_localT_1024.cuh) collapsed onto the
+    sequential TPU grid."""
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         carry_ref[0, 0] = jnp.zeros((), x_ref.dtype)
 
-    x = x_ref[0]                                   # (8, 128)
-    lane_inc = tile_cumsum(x, axis=1)              # within-row inclusive scan
+    x = x_ref[0]                                   # (8, WIDE)
+    lane_inc = tile_cumsum(x, axis=1)              # within-row scan
     # row-level scan: broadcast row totals to full lane width first —
-    # Mosaic rejects shift-concats on (8, 1) arrays
-    row_tot_b = jnp.broadcast_to(lane_inc[:, LANE - 1 : LANE], x.shape)
-    row_excl = tile_cumsum(row_tot_b, axis=0) - row_tot_b  # exclusive rows
+    # Mosaic rejects shift-concats on width-1 arrays
+    row_tot_b = jnp.broadcast_to(lane_inc[:, WIDE - 1 : WIDE], x.shape)
+    row_excl = tile_cumsum(row_tot_b, axis=0) - row_tot_b
     carry = carry_ref[0, 0]
-    o_ref[0] = carry + row_excl + (lane_inc - x)   # exclusive result
+    o_ref[0] = carry + row_excl + (lane_inc - x)
     carry_ref[0, 0] = carry + jnp.sum(x)
 
 
@@ -72,15 +80,15 @@ def exclusive_scan_pallas(x):
     (n,) = x.shape
     n_pad = max(TILE, cdiv(n, TILE) * TILE)
     xp = jnp.zeros((n_pad,), x.dtype).at[:n].set(x)
-    xt = xp.reshape(n_pad // TILE, SUBLANES, LANE)
+    xt = xp.reshape(n_pad // TILE, SUBLANES, WIDE)
     out = pl.pallas_call(
         _scan_tile_kernel,
         grid=(n_pad // TILE,),
         in_specs=[
-            pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SUBLANES, WIDE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, SUBLANES, LANE), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, SUBLANES, WIDE), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xt.shape, x.dtype),
         scratch_shapes=[pltpu.SMEM((1, 1), x.dtype)],
