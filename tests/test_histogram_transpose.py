@@ -50,3 +50,19 @@ def test_transpose_int(rng):
     x = rng.integers(0, 1000, size=(130, 260)).astype(np.int32)
     got = np.asarray(tr.transpose_pallas(jnp.asarray(x)))
     np.testing.assert_array_equal(got, x.T)
+
+
+# ---- Pallas tiled matmul (blocked-matmul workload parity) ------------------
+
+@pytest.mark.parametrize("shape", [((8, 8), (8, 8)), ((100, 200), (200, 50)),
+                                   ((256, 512), (512, 256)),
+                                   ((300, 300), (300, 300))])
+def test_matmul_pallas(rng, shape):
+    from libhpc_tpu.ops.matmul import matmul_pallas
+
+    (am, ak), (bk, bn) = shape
+    a = rng.random((am, ak)).astype(np.float32)
+    b = rng.random((bk, bn)).astype(np.float32)
+    got = np.asarray(matmul_pallas(jnp.asarray(a), jnp.asarray(b),
+                                   tile_m=128, tile_n=128, tile_k=128))
+    np.testing.assert_allclose(got, a @ b, rtol=1e-4, atol=1e-3)
