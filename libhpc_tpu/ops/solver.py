@@ -91,3 +91,42 @@ def jacobi(matvec: Callable, diag, b, x0=None, n_iter: int = 100,
         return x + inv_d * (b - matvec(x))
 
     return jax.lax.fori_loop(0, n_iter, body, x0)
+
+
+@partial(jax.jit, static_argnames=("matvec", "max_iter"))
+def pcg(matvec: Callable, diag, b, x0=None, tol: float = 1e-6,
+        max_iter: int = 1000):
+    """Jacobi-preconditioned CG (M = diag(A)). Returns (x, iters, res2).
+
+    The standard pairing for the Poisson/FEM systems this library targets:
+    costs one elementwise divide per iteration and typically halves the
+    iteration count on stiff diagonals.
+    """
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    inv_d = 1.0 / diag
+    r0 = b - matvec(x0)
+    z0 = inv_d * r0
+    rz0 = _sdot(r0, z0)
+    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(
+        _sdot(b, b), jnp.ones((), b.dtype)
+    )
+
+    def cond(s):
+        x, r, z, p, rz, rr, it = s
+        return (rr > tol2) & (it < max_iter)
+
+    def body(s):
+        x, r, z, p, rz, rr, it = s
+        Ap = matvec(p)
+        alpha = rz / _sdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = inv_d * r
+        rz_new = _sdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new, _sdot(r, r), it + 1)
+
+    init = (x0, r0, z0, z0, rz0, _sdot(r0, r0),
+            jnp.zeros((), jnp.int32))
+    x, r, z, p, rz, rr, it = jax.lax.while_loop(cond, body, init)
+    return x, it, rr

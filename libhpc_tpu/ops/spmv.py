@@ -81,3 +81,27 @@ def dia_spmv(dia, x):
         contrib = dia.data[d, j0:j1] * x[j0:j1]
         y = y.at[j0 - o : j1 - o].add(contrib)
     return y
+
+
+@jax.jit
+def csr_spmv_t(csr, y):
+    """x = A^T @ y for CSR A (the CSC view): products scatter over columns,
+    expressed as a segment-sum over the column ids (sorted per row, not
+    globally — XLA handles unsorted segment ids)."""
+    prod = csr.data * y[csr.row_of_nnz()]
+    return jax.ops.segment_sum(prod, csr.indices, num_segments=csr.shape[1])
+
+
+@jax.jit
+def dia_spmv_t(dia, y):
+    """x = A^T @ y for DIA A: the transpose of a diagonal matrix is the
+    diagonal set negated — same zero-gather streaming structure."""
+    m, n = dia.shape
+    x = jnp.zeros((n,), dia.data.dtype)
+    for d, o in enumerate(dia.offsets):
+        j0 = max(0, o)
+        j1 = min(n, m + o)
+        if j1 <= j0:
+            continue
+        x = x.at[j0:j1].add(dia.data[d, j0:j1] * y[j0 - o : j1 - o])
+    return x

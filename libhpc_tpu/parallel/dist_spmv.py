@@ -164,3 +164,37 @@ def dist_cg(A: DistCSR, b, mesh: Mesh, axis: str = "x", tol: float = 1e-6,
 
     matvec = dist_spmv_fn(A, mesh, axis)
     return cg(matvec, b, tol=tol, max_iter=max_iter)
+
+
+def dist_spmm_fn(A: DistCSR, mesh: Mesh, n_cols: int, axis: str = "x"):
+    """Distributed SpMM: rows of A partitioned, B (n, c) row-sharded like x;
+    result Y (m, c) row-sharded. Same diag/offd overlap as dist_spmv."""
+    rows_local = A.rows_local
+
+    def _local_spmm(data, indices, indptr, B, nrows):
+        rows = (
+            jnp.searchsorted(indptr,
+                             jnp.arange(data.shape[0], dtype=jnp.int32),
+                             side="right").astype(jnp.int32) - 1
+        )
+        prod = data[:, None] * B[indices]
+        return jax.ops.segment_sum(prod, rows, num_segments=nrows)
+
+    def body(dd, di, dp, od, oi, op, B):
+        Bg = lax.all_gather(B, axis, tiled=True)
+        Y = _local_spmm(dd[0], di[0], dp[0], B, rows_local)
+        Y = Y + _local_spmm(od[0], oi[0], op[0], Bg, rows_local)
+        return Y
+
+    smapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis),) * 7,
+        out_specs=P(axis),
+    )
+
+    @jax.jit
+    def matmat(B):
+        return smapped(A.diag_data, A.diag_indices, A.diag_indptr,
+                       A.offd_data, A.offd_indices, A.offd_indptr, B)
+
+    return matmat

@@ -64,8 +64,8 @@ class BlockGrid:
 
     # -- touch (allocation) ------------------------------------------------
 
-    @jax.jit
-    def touch_batch(self, xs, ys) -> "BlockGrid":
+    @partial(jax.jit, static_argnames=("order",))
+    def touch_batch(self, xs, ys, order: str = "raster") -> "BlockGrid":
         """Allocate leaf tiles for every (x, y) — batched insert-on-touch.
 
         Dedupe via sort + head-flags (no hash map needed), then assign pool
@@ -74,17 +74,34 @@ class BlockGrid:
         """
         bx, by, _, _ = self._split(xs.astype(jnp.int32), ys.astype(jnp.int32))
         gy, gx = self.tile_map.shape
-        tid = by * gx + bx                             # flat tile ids
+        if order == "morton":
+            # Z-order slot assignment: spatially adjacent tiles get nearby
+            # pool slots (the reference's libmorton layout trick applied to
+            # the tile pool). The Morton code is a bijection of (bx, by),
+            # so it serves directly as the unique tile id.
+            from libhpc_tpu.utils.morton import morton2d_encode
+
+            tid = morton2d_encode(bx.astype(jnp.uint32),
+                                  by.astype(jnp.uint32))
+        else:
+            tid = (by * gx + bx).astype(jnp.uint32)    # flat tile ids
         tid_sorted = jax.lax.sort(tid)
         is_head = jnp.concatenate(
             [jnp.ones((1,), bool), tid_sorted[1:] != tid_sorted[:-1]]
         )
-        # unique tile ids packed to the front (tail padded with tid_sorted[-1])
-        order = jnp.argsort(~is_head, stable=True)
-        uniq = tid_sorted[order]                       # heads first
+        # unique tile ids packed to the front (tail padded with duplicates)
+        head_order = jnp.argsort(~is_head, stable=True)
+        uniq = tid_sorted[head_order]                  # heads first
         n_uniq = jnp.sum(is_head.astype(jnp.int32))
         k = jnp.arange(tid.shape[0])
-        uy, ux = uniq // gx, uniq % gx
+        if order == "morton":
+            from libhpc_tpu.utils.morton import morton2d_decode
+
+            ux32, uy32 = morton2d_decode(uniq)
+            ux, uy = ux32.astype(jnp.int32), uy32.astype(jnp.int32)
+        else:
+            uniq_i = uniq.astype(jnp.int32)
+            uy, ux = uniq_i // gx, uniq_i % gx
         existing = self.tile_map[uy, ux]
         is_new = (existing < 0) & (k < n_uniq)
         # slot for each new tile: n_active + rank among new

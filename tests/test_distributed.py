@@ -204,3 +204,16 @@ def test_dist_dia_bandwidth_guard():
     DistDIA.from_scipy(A, 8)  # fine
     with pytest.raises(ValueError):
         DistDIA.from_scipy(poisson2d(8), 32)  # 2 rows/shard < bandwidth 8
+
+
+@needs_8
+def test_dist_spmm(rng):
+    from libhpc_tpu.parallel.dist_spmv import dist_spmm_fn
+
+    mesh = meshmod.make_mesh_1d(8)
+    A = poisson2d(16)  # 256×256
+    dA = DistCSR.from_scipy(A, 8).shard(mesh)
+    B = rng.random((A.shape[1], 16)).astype(np.float32)
+    Bs = jax.device_put(jnp.asarray(B), NamedSharding(mesh, P("x")))
+    got = np.asarray(dist_spmm_fn(dA, mesh, 16)(Bs))
+    np.testing.assert_allclose(got, A @ B, rtol=1e-3, atol=1e-3)

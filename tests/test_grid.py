@@ -82,3 +82,26 @@ def test_capacity_fail_soft():
     assert int(g.n_allocated()) == 2
     tm = np.asarray(g.tile_map)
     assert (tm >= 0).sum() == 2
+
+
+def test_touch_morton_order(rng):
+    """Morton slot assignment: same semantics, Z-ordered pool layout."""
+    g = BlockGrid.create((16, 16), block_size=16, capacity=256)
+    xs = rng.integers(0, 256, 500).astype(np.int32)
+    ys = rng.integers(0, 256, 500).astype(np.int32)
+    vals = rng.random(500).astype(np.float32)
+    g = g.touch_batch(jnp.asarray(xs), jnp.asarray(ys), order="morton")
+    g = g.write_batch(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vals))
+    dense = np.zeros((256, 256), np.float32)
+    np.add.at(dense, (ys, xs), vals)
+    np.testing.assert_allclose(np.asarray(g.todense()), dense, rtol=1e-4,
+                               atol=1e-4)
+    # Z-order property: slot order follows the morton order of (bx, by)
+    tm = np.asarray(g.tile_map)
+    coords = [(y, x) for y in range(16) for x in range(16) if tm[y, x] >= 0]
+    slots = [tm[y, x] for (y, x) in coords]
+    from libhpc_tpu.utils.morton import morton2d_encode
+    codes = [int(morton2d_encode(jnp.uint32(x), jnp.uint32(y)))
+             for (y, x) in coords]
+    order_by_slot = np.argsort(slots)
+    assert (np.diff(np.asarray(codes)[order_by_slot]) > 0).all()

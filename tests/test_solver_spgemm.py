@@ -80,3 +80,32 @@ def test_spgemm_expansion_size():
     lenB = np.diff(A.indptr)
     expect = int(lenB[A.indices].sum())
     assert got == expect
+
+
+def test_pcg_poisson():
+    """Jacobi-PCG converges and in no more iterations than plain CG."""
+    A = poisson2d(16)
+    csr = CSR.from_scipy(A)
+    diag = jnp.asarray(A.diagonal().astype(np.float32))
+    rng = np.random.default_rng(3)
+    x_true = rng.random(A.shape[0]).astype(np.float32)
+    b = jnp.asarray(A @ x_true)
+    x1, it1, _ = solver.cg(lambda v: csr @ v, b, tol=1e-5, max_iter=2000)
+    x2, it2, _ = solver.pcg(lambda v: csr @ v, diag, b, tol=1e-5,
+                            max_iter=2000)
+    assert int(it2) <= int(it1) + 2
+    np.testing.assert_allclose(np.asarray(x2), x_true, rtol=1e-2, atol=1e-2)
+
+
+def test_spmv_transpose(rng):
+    from libhpc_tpu.ops.spmv import csr_spmv_t, dia_spmv_t
+    from libhpc_tpu.sparse import DIA
+
+    A = sps.random(60, 80, density=0.1, format="csr", dtype=np.float32,
+                   random_state=np.random.RandomState(19))
+    y = rng.random(60).astype(np.float32)
+    expect = A.T @ y
+    got = np.asarray(csr_spmv_t(CSR.from_scipy(A), jnp.asarray(y)))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+    got = np.asarray(dia_spmv_t(DIA.from_scipy(A), jnp.asarray(y)))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
