@@ -203,6 +203,8 @@ ALL = {
     "scan_hist": bench_scan_hist,
     "spmv": bench_spmv,
     "particles": bench_particle_writes,
+    "access": bench_access,
+    "dtypes": bench_dtypes,
 }
 
 
@@ -217,3 +219,38 @@ def main(argv):
 
 if __name__ == "__main__":
     main(sys.argv[1:])
+
+
+def bench_access():
+    """Sequential vs random access — the reference's access-pattern sweep
+    (test_hpc_benchmark.cpp:146-290) re-expressed: streaming read vs
+    gather-random read of the same 16 MB."""
+    n = 1 << 22
+    x = jnp.ones((n,), jnp.float32)
+    per = time_iterated(lambda v: v * 1.0000001, x, iters=32, iters_small=4)
+    _emit("access_sequential_16MB", per, gb_per_s=2 * n * 4 / per / 1e9)
+
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.permutation(n).astype(np.int32))
+
+    def rand_read(v):
+        return v + jnp.sum(v[idx]) * 1e-30
+
+    per = time_iterated(rand_read, x, iters=4, iters_small=1)
+    _emit("access_random_16MB", per, gelem_per_s=n / per / 1e9)
+
+
+def bench_dtypes():
+    """int-width / precision sweep — the reference's int-width benches
+    (test_hpc_benchmark.cpp:928-1065): same axpy at f32/bf16/int8."""
+    n = 1 << 24
+    for dt, name in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16"),
+                     (jnp.int8, "i8")]:
+        x = jnp.ones((n,), dt)
+        if dt == jnp.int8:
+            step = lambda v: (v ^ 1)
+        else:
+            step = lambda v: v * jnp.asarray(1.0000001, dt)
+        per = time_iterated(step, x, iters=32, iters_small=4)
+        _emit(f"dtype_stream_{name}_16M", per,
+              gb_per_s=2 * x.nbytes / per / 1e9)

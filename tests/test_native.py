@@ -5,6 +5,7 @@ reference's concurrency + mempool suites (SURVEY.md §4.3-4.4).
 Skipped gracefully if no C++ toolchain is available.
 """
 
+import os
 import numpy as np
 import pytest
 import scipy.sparse as sps
@@ -101,3 +102,19 @@ def test_morton_host_matches_jax(rng):
     got = native.morton2d_encode_host(x, y)
     expect = np.asarray(morton2d_encode(jnp.asarray(x), jnp.asarray(y)))
     np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.slow
+def test_asan_selftest():
+    """Build + run the concurrency selftest under ASan+LSan — the
+    reference's sanitizer policy (tests/CMakeLists.txt:6-9) applied to the
+    TPU build's host runtime."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ndir = os.path.join(root, "native")
+    subprocess.run(["make", "-C", ndir, "asan"], check=True,
+                   capture_output=True)
+    out = subprocess.run([os.path.join(ndir, "build", "selftest_asan")],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout + out.stderr
