@@ -20,6 +20,10 @@ import sys
 
 def main():
     import jax
+
+    from libhpc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

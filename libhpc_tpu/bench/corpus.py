@@ -19,6 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from libhpc_tpu.bench.harness import time_iterated
+from libhpc_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def _emit(name: str, per_s: float, **extra):

@@ -16,6 +16,10 @@ import jax
 if os.environ.get("LIBHPC_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+else:
+    from libhpc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
 import numpy as np
 import pytest
