@@ -83,3 +83,20 @@ def test_mg_beats_cg_in_work(rng):
                             jnp.asarray(f_grid.ravel()), tol=1e-4,
                             max_iter=1000)
     assert 8 * 4 < int(it_cg)  # ~4 smoothing sweeps per cycle vs CG iters
+
+
+def test_mg_vmap_batched_rhs(rng):
+    """Batched right-hand sides via vmap (many independent solves in one
+    program — the XLA-native replacement for the reference's thread-pool
+    task parallelism)."""
+    import jax
+
+    n = 31
+    h = 1.0 / (n + 1)
+    fs = rng.random((4, n, n)).astype(np.float32)
+    solve = jax.vmap(lambda f: mg.mg_solve(f, h=h, n_cycles=10)[0])
+    us = np.asarray(solve(jnp.asarray(fs)))
+    for i in range(4):
+        u_i, _ = mg.mg_solve(jnp.asarray(fs[i]), h=h, n_cycles=10)
+        np.testing.assert_allclose(us[i], np.asarray(u_i), rtol=1e-4,
+                                   atol=1e-4)
