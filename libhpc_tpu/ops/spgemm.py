@@ -60,3 +60,48 @@ def spgemm(A_csr, B_csr):
 def spgemm_csr(A_csr, B_csr):
     """C = A @ B as padded CSR."""
     return spgemm(A_csr, B_csr).tocsr()
+
+
+def spgemm_blocked(A_csr, B_csr, row_block: int = 4096):
+    """Memory-bounded SpGEMM: process A in row blocks so the expansion
+    buffer stays O(row_block_nnz × kB) instead of O(nnzA × kB) — required
+    at the 100M-nnz scale (BASELINE configs[4]). Host loop over jitted
+    per-block numeric passes; returns padded COO.
+    """
+    import numpy as np
+
+    from libhpc_tpu.sparse.csr import CSR
+
+    if A_csr.shape[1] != B_csr.shape[0]:
+        raise ValueError(f"shape mismatch {A_csr.shape} @ {B_csr.shape}")
+    B_ell = B_csr.to_ell()
+    m = A_csr.shape[0]
+    indptr_np = np.asarray(A_csr.indptr)
+    rows_list, cols_list, data_list = [], [], []
+    for r0 in range(0, m, row_block):
+        r1 = min(m, r0 + row_block)
+        p0, p1 = int(indptr_np[r0]), int(indptr_np[r1])
+        if p1 == p0:
+            continue
+        blk = CSR(
+            data=A_csr.data[p0:p1],
+            indices=A_csr.indices[p0:p1],
+            indptr=A_csr.indptr[r0 : r1 + 1] - p0,
+            shape=(r1 - r0, A_csr.shape[1]),
+        )
+        c = _spgemm_numeric(blk, B_ell, B_ell.k)
+        rows_list.append(c.row + r0)
+        cols_list.append(c.col)
+        data_list.append(c.data)
+    if not rows_list:
+        return COO(
+            row=jnp.zeros((1,), jnp.int32), col=jnp.zeros((1,), jnp.int32),
+            data=jnp.zeros((1,), A_csr.dtype),
+            shape=(m, B_ell.shape[1]),
+        )
+    return COO(
+        row=jnp.concatenate(rows_list).astype(jnp.int32),
+        col=jnp.concatenate(cols_list).astype(jnp.int32),
+        data=jnp.concatenate(data_list),
+        shape=(m, B_ell.shape[1]),
+    )

@@ -109,3 +109,16 @@ def test_spmv_transpose(rng):
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
     got = np.asarray(dia_spmv_t(DIA.from_scipy(A), jnp.asarray(y)))
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("row_block", [7, 32, 1000])
+def test_spgemm_blocked(row_block):
+    rs = np.random.RandomState(23)
+    A = sps.random(90, 70, density=0.1, format="csr", dtype=np.float32,
+                   random_state=rs)
+    B = sps.random(70, 85, density=0.1, format="csr", dtype=np.float32,
+                   random_state=rs)
+    C = spgemm.spgemm_blocked(CSR.from_scipy(A), CSR.from_scipy(B),
+                              row_block=row_block)
+    np.testing.assert_allclose(np.asarray(C.todense()), (A @ B).toarray(),
+                               rtol=1e-4, atol=1e-4)
