@@ -130,3 +130,27 @@ def test_dia_spmv_nonsquare(rng):
     x = rng.random(60).astype(np.float32)
     got = np.asarray(dia_spmv(DIA.from_scipy(A), jnp.asarray(x)))
     np.testing.assert_allclose(got, A @ x, rtol=1e-4, atol=1e-4)
+
+
+# ---- dtype coverage (bf16 compute path for MXU-era deployments) ------------
+
+@pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+def test_spmv_dtypes(rng, dtype):
+    import jax.numpy as jnp2
+
+    dt = jnp2.bfloat16 if dtype == "bfloat16" else jnp2.float32
+    A = poisson2d(8)
+    from libhpc_tpu.sparse import DIA, ELL
+    x = rng.random(A.shape[1]).astype(np.float32)
+    ref = A @ x
+    dia = DIA.from_scipy(A)
+    import dataclasses
+    dia16 = dataclasses.replace(dia, data=dia.data.astype(dt))
+    got = np.asarray(spmv.dia_spmv(dia16, jnp.asarray(x).astype(dt)),
+                     dtype=np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    ell = ELL.from_scipy(A)
+    ell16 = dataclasses.replace(ell, vals=ell.vals.astype(dt))
+    got = np.asarray(spmv.ell_spmv(ell16, jnp.asarray(x).astype(dt)),
+                     dtype=np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
