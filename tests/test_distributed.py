@@ -217,3 +217,39 @@ def test_dist_spmm(rng):
     Bs = jax.device_put(jnp.asarray(B), NamedSharding(mesh, P("x")))
     got = np.asarray(dist_spmm_fn(dA, mesh, 16)(Bs))
     np.testing.assert_allclose(got, A @ B, rtol=1e-3, atol=1e-3)
+
+
+@needs_8
+@pytest.mark.parametrize("grid,realign", [((2, 2), True), ((2, 4), False),
+                                          ((4, 2), False)])
+def test_dist2d_spmv(rng, grid, realign):
+    from libhpc_tpu.parallel.dist2d import Dist2DCSR, dist2d_spmv_fn
+
+    pr, pc = grid
+    mesh = jax.make_mesh((pr, pc), ("py", "px"),
+                         devices=jax.devices()[: pr * pc])
+    A = poisson2d(16)  # 256×256
+    dA = Dist2DCSR.from_scipy(A, grid).shard(mesh)
+    x = rng.random(dA.shape[1]).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("px")))
+    got = np.asarray(dist2d_spmv_fn(dA, mesh, realign=realign)(xs))
+    np.testing.assert_allclose(got, A @ x[: A.shape[0]], rtol=1e-4,
+                               atol=1e-4)
+
+
+@needs_8
+def test_dist2d_cg(rng):
+    """CG over the 2D-partitioned operator (realigned output feeds back)."""
+    from libhpc_tpu.parallel.dist2d import Dist2DCSR, dist2d_spmv_fn
+    from libhpc_tpu.ops.solver import cg
+
+    mesh = jax.make_mesh((2, 2), ("py", "px"), devices=jax.devices()[:4])
+    A = poisson2d(16)
+    dA = Dist2DCSR.from_scipy(A, (2, 2)).shard(mesh)
+    matvec = dist2d_spmv_fn(dA, mesh, realign=True)
+    x_true = rng.random(A.shape[0]).astype(np.float32)
+    b = jax.device_put(jnp.asarray(A @ x_true),
+                       NamedSharding(mesh, P("px")))
+    x, it, _ = cg(matvec, b, tol=1e-5, max_iter=2000)
+    assert int(it) < 2000
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-2, atol=1e-2)
