@@ -185,3 +185,14 @@ def morton2d_encode_host(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 def selftest() -> int:
     """Run the native concurrency/pool stress self-test; 0 = pass."""
     return get_lib().hpc_native_selftest()
+
+
+def bench_counter(kind: int, threads: int = 4, iters: int = 1_000_000) -> float:
+    """ns per increment for kind: 0=unsync, 1=atomic, 2=mutex, 3=CAS —
+    the reference's counter-cost sweep (test_hpc_benchmark.cpp:1067-1126)."""
+    lib = get_lib()
+    import ctypes as _c
+
+    lib.hpc_bench_counter.restype = _c.c_double
+    lib.hpc_bench_counter.argtypes = [_c.c_int, _c.c_int, _c.c_int]
+    return float(lib.hpc_bench_counter(kind, threads, iters))

@@ -251,3 +251,44 @@ int hpc_native_selftest() {
 }
 
 }  // extern "C"
+
+// ---- counter-cost microbenchmark (reference: test_hpc_benchmark.cpp
+// :1067-1126 — mutex vs atomic vs unsynchronized increment costs) ---------
+#include <chrono>
+#include <mutex>
+
+extern "C" double hpc_bench_counter(int kind, int threads, int iters) {
+  // kind: 0 = unsynchronized (per-thread), 1 = std::atomic fetch_add,
+  //       2 = mutex-guarded, 3 = CAS loop
+  static std::atomic<long long> atomic_ctr{0};
+  static long long plain_ctr = 0;
+  static std::mutex mtx;
+  atomic_ctr.store(0);
+  plain_ctr = 0;
+  auto t0 = std::chrono::steady_clock::now();
+  std::vector<std::thread> ts;
+  for (int t = 0; t < threads; ++t) {
+    ts.emplace_back([&, t] {
+      long long local = 0;
+      for (int i = 0; i < iters; ++i) {
+        switch (kind) {
+          case 0: local += 1; break;
+          case 1: atomic_ctr.fetch_add(1, std::memory_order_relaxed); break;
+          case 2: { std::lock_guard<std::mutex> g(mtx); ++plain_ctr; } break;
+          case 3: {
+            long long cur = atomic_ctr.load(std::memory_order_relaxed);
+            while (!atomic_ctr.compare_exchange_weak(
+                cur, cur + 1, std::memory_order_relaxed)) {
+            }
+            break;
+          }
+        }
+      }
+      if (kind == 0) atomic_ctr.fetch_add(local);
+    });
+  }
+  for (auto& th : ts) th.join();
+  auto t1 = std::chrono::steady_clock::now();
+  double ns = std::chrono::duration<double, std::nano>(t1 - t0).count();
+  return ns / ((double)threads * iters);
+}

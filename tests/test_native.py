@@ -118,3 +118,11 @@ def test_asan_selftest():
     out = subprocess.run([os.path.join(ndir, "build", "selftest_asan")],
                          capture_output=True, text=True)
     assert out.returncode == 0, out.stdout + out.stderr
+
+
+def test_bench_counter_ordering():
+    """Sanity: unsynchronized increments are cheapest; contended primitives
+    cost more (the reference's qualitative finding)."""
+    unsync = native.bench_counter(0, threads=2, iters=200_000)
+    atomic = native.bench_counter(1, threads=2, iters=200_000)
+    assert unsync < atomic
