@@ -100,3 +100,65 @@ def test_mg_vmap_batched_rhs(rng):
         u_i, _ = mg.mg_solve(jnp.asarray(fs[i]), h=h, n_cycles=10)
         np.testing.assert_allclose(us[i], np.asarray(u_i), rtol=1e-4,
                                    atol=1e-4)
+
+
+# ---- cell-centered (2^k, GSPMD-shardable) hierarchy ------------------------
+
+def test_cc_transfer_adjoint(rng):
+    """restrict_cc == (1/4)·prolong_cc^T (discrete adjoint property)."""
+    m = 8
+    u = rng.random((m, m)).astype(np.float64).astype(np.float32)
+    v = rng.random((2 * m, 2 * m)).astype(np.float32)
+    lhs = float(jnp.sum(mg.prolong_cc(jnp.asarray(u)) * jnp.asarray(v)))
+    rhs = 4.0 * float(jnp.sum(jnp.asarray(u) *
+                              mg.restrict_cc(jnp.asarray(v))))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_cc_vcycle_contracts(rng):
+    n = 64
+    h = 1.0 / n
+    f = jnp.asarray(rng.random((n, n)).astype(np.float32))
+    _, r1 = mg.mg_solve_cc(f, h=h, n_cycles=1)
+    _, r2 = mg.mg_solve_cc(f, h=h, n_cycles=2)
+    assert float(r2) < 0.4 * float(r1)
+
+
+def test_cc_matches_direct(rng):
+    """Oracle: dense matrix of the *same* reflective-ghost operator (built
+    by applying it to identity columns), solved with numpy."""
+    n = 16
+    h = 1.0 / n
+    f_grid = rng.random((n, n)).astype(np.float32)
+    import jax
+
+    eye = jnp.eye(n * n, dtype=jnp.float32).reshape(n * n, n, n)
+    cols = jax.vmap(lambda e: mg.poisson_op_cc(e, h).ravel())(eye)
+    A = np.asarray(cols).T.astype(np.float64)
+    expect = np.linalg.solve(A, f_grid.ravel().astype(np.float64)).reshape(n, n)
+    u, _ = mg.mg_solve_cc(jnp.asarray(f_grid), h=h, n_cycles=12)
+    np.testing.assert_allclose(np.asarray(u), expect, rtol=5e-3, atol=5e-3)
+
+
+def test_cc_sharded_gspmd_matches(rng):
+    """The distributed multigrid: jit with a row-sharded rhs on the 8-device
+    mesh — every level divides evenly; XLA partitions stencils + transfers
+    and the answer matches the single-device run."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from libhpc_tpu.parallel.mesh import make_mesh_1d
+
+    n = 64
+    h = 1.0 / n
+    f_grid = rng.random((n, n)).astype(np.float32)
+    u_ref, _ = mg.mg_solve_cc(jnp.asarray(f_grid), h=h, n_cycles=4)
+
+    mesh = jax.make_mesh((8,), ("x",),
+                         axis_types=(jax.sharding.AxisType.Auto,))
+    fs = jax.device_put(jnp.asarray(f_grid), NamedSharding(mesh, P("x")))
+    u_sh, _ = mg.mg_solve_cc(fs, h=h, n_cycles=4)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               rtol=1e-5, atol=1e-5)
