@@ -14,6 +14,8 @@
 #include <vector>
 
 #include "../include/hier_lock.hpp"
+#include "../include/linklist.hpp"
+#include "../include/lockfree_stack.hpp"
 #include "../include/mempool.hpp"
 #include "../include/mpmc_queue.hpp"
 #include "../include/mtx.hpp"
@@ -239,6 +241,76 @@ static int selftest_threadpool() {
   return sum.load() == expect ? 0 : 30;
 }
 
+// Lock-free stack stress: P pushers × C poppers, sum tally — the
+// reference's hazard/ref-count stack tests (tests/test_stack_lockfree/).
+static int selftest_stack(int producers, int consumers, int n_items) {
+  LockFreeStack<int> st;
+  std::atomic<long long> pushed{0}, popped{0}, sum_in{0}, sum_out{0};
+  std::atomic<bool> done{false};
+  std::vector<std::thread> ts;
+  for (int p = 0; p < producers; ++p) {
+    ts.emplace_back([&, p] {
+      for (int i = p; i < n_items; i += producers) {
+        st.push(i);
+        pushed.fetch_add(1);
+        sum_in.fetch_add(i);
+      }
+    });
+  }
+  for (int c = 0; c < consumers; ++c) {
+    ts.emplace_back([&] {
+      while (true) {
+        if (auto v = st.pop()) {
+          popped.fetch_add(1);
+          sum_out.fetch_add(*v);
+        } else if (done.load() && popped.load() >= pushed.load()) {
+          return;
+        } else {
+          std::this_thread::yield();
+        }
+      }
+    });
+  }
+  for (int p = 0; p < producers; ++p) ts[p].join();
+  done.store(true);
+  for (int c = 0; c < consumers; ++c) ts[producers + c].join();
+  if (pushed.load() != n_items || popped.load() != n_items) return 40;
+  if (sum_in.load() != sum_out.load()) return 41;
+  if (!st.empty()) return 42;
+  return 0;
+}
+
+// Hand-over-hand list: concurrent inserts + removals + nonexistent removes
+// (the reference's test_linklist_lk patterns).
+static int selftest_linklist() {
+  LinkedList<int> list;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < 4; ++t) {
+    ts.emplace_back([&, t] {
+      for (int i = t; i < 4000; i += 4) list.push_front(i);
+    });
+  }
+  for (auto& th : ts) th.join();
+  if (list.size() != 4000) return 50;
+  std::atomic<long long> removed{0};
+  ts.clear();
+  for (int t = 0; t < 2; ++t) {
+    ts.emplace_back([&, t] {
+      removed.fetch_add(
+          (long long)list.remove_if([&, t](int v) { return v % 2 == t; }));
+    });
+  }
+  ts.emplace_back([&] {
+    // concurrent remove of nonexistent values must find nothing
+    if (list.remove_if([](int v) { return v >= 4000; })) removed.fetch_add(1 << 20);
+  });
+  for (auto& th : ts) th.join();
+  if (removed.load() != 4000) return 51;
+  if (list.size() != 0) return 52;
+  if (list.find_first_if([](int) { return true; })) return 53;
+  return 0;
+}
+
 int hpc_native_selftest() {
   int rc;
   if ((rc = selftest_queue(1, 1, 200000))) return rc;
@@ -247,6 +319,9 @@ int hpc_native_selftest() {
   if ((rc = selftest_pool())) return rc;
   if ((rc = selftest_hier_lock())) return rc;
   if ((rc = selftest_threadpool())) return rc;
+  if ((rc = selftest_stack(1, 1, 100000))) return rc;
+  if ((rc = selftest_stack(3, 2, 100000))) return rc;
+  if ((rc = selftest_linklist())) return rc;
   return 0;
 }
 
