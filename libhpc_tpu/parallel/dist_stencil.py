@@ -108,3 +108,23 @@ def dist_poisson3d_fn(mesh: Mesh, axis: str = "x"):
     return jax.jit(
         jax.shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
     )
+
+
+def dist_poisson_2dmesh_fn(mesh: Mesh, axes=("py", "px")):
+    """5-point Poisson on a grid sharded over BOTH axes of a 2D mesh
+    (2D domain decomposition — halo rows and columns + corners)."""
+
+    def body(x):
+        p = _halo.pad_with_halo_2d(x, 1, axes)
+        u = p[1:-1, 1:-1]
+        return (
+            4.0 * u
+            - p[:-2, 1:-1]
+            - p[2:, 1:-1]
+            - p[1:-1, :-2]
+            - p[1:-1, 2:]
+        )
+
+    return jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=P(*axes), out_specs=P(*axes))
+    )

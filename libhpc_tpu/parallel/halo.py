@@ -74,3 +74,19 @@ def halo_stencil_overlapped(x, stencil_fn, halo: int, axis: str,
     bot_out = stencil_fn(bot_block)[-h:, :]                         # last h rows
 
     return jnp.concatenate([top_out, interior, bot_out], axis=0)
+
+
+def pad_with_halo_2d(x, halo: int, axes=("py", "px"), wrap: bool = False):
+    """2D domain decomposition: extend the local (my, nx) shard with ghost
+    rows AND columns from the 4 side neighbors — corners come for free by
+    exchanging rows first and then exchanging columns *of the row-extended
+    block* (the second exchange carries the first's halo)."""
+    ay, ax = axes
+    top, bot = exchange_halo_1d(x, halo, ay, wrap)
+    xr = jnp.concatenate([top, x, bot], axis=0)      # (my + 2h, nx)
+    n = lax.axis_size(ax)
+    fwd = [(i, (i + 1) % n) for i in range(n if wrap else n - 1)]
+    bwd = [((i + 1) % n, i) for i in range(n if wrap else n - 1)]
+    left = lax.ppermute(xr[:, -halo:], ax, fwd)      # from col-neighbor j-1
+    right = lax.ppermute(xr[:, :halo], ax, bwd)      # from col-neighbor j+1
+    return jnp.concatenate([left, xr, right], axis=1)

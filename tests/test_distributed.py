@@ -253,3 +253,19 @@ def test_dist2d_cg(rng):
     x, it, _ = cg(matvec, b, tol=1e-5, max_iter=2000)
     assert int(it) < 2000
     np.testing.assert_allclose(np.asarray(x), x_true, rtol=1e-2, atol=1e-2)
+
+
+@needs_8
+def test_dist_poisson_2dmesh(rng):
+    from libhpc_tpu.ops.stencil import poisson5_apply
+    from libhpc_tpu.parallel.dist_stencil import dist_poisson_2dmesh_fn
+
+    mesh = jax.make_mesh((2, 4), ("py", "px"))
+    u = rng.random((32, 64)).astype(np.float32)
+    f = dist_poisson_2dmesh_fn(mesh)
+    us = jax.device_put(jnp.asarray(u),
+                        NamedSharding(mesh, P("py", "px")))
+    got = np.asarray(f(us))
+    np.testing.assert_allclose(
+        got, np.asarray(poisson5_apply(jnp.asarray(u))), rtol=1e-4,
+        atol=1e-4)
