@@ -105,3 +105,12 @@ def dia_spmv_t(dia, y):
             continue
         x = x.at[j0:j1].add(dia.data[d, j0:j1] * y[j0 - o : j1 - o])
     return x
+
+
+@jax.jit
+def hybrid_spmv(hyb, x):
+    """y = A @ x for BandedHybrid A: permute → DIA band (streaming) + ELL
+    remainder (gather-bound, small by construction) → unpermute."""
+    xp = x[hyb.perm]
+    yp = dia_spmv(hyb.band, xp) + ell_spmv(hyb.rest, xp)
+    return yp[hyb.iperm]

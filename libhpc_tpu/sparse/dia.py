@@ -45,8 +45,12 @@ class DIA:
     @staticmethod
     def from_scipy(sp) -> "DIA":
         d = sp.todia()
+        data = np.asarray(d.data)
+        ncols = d.shape[1]
+        if data.shape[1] < ncols:  # scipy may emit a narrower data array
+            data = np.pad(data, ((0, 0), (0, ncols - data.shape[1])))
         return DIA(
-            data=jnp.asarray(d.data),
+            data=jnp.asarray(data),
             offsets=tuple(int(o) for o in d.offsets),
             shape=d.shape,
         )

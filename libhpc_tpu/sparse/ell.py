@@ -59,6 +59,12 @@ class ELL:
             )
         k = max(1, -(-max_nnz_per_row // pad_multiple) * pad_multiple)
         nrows = csr.shape[0]
+        if len(indices) == 0:  # empty matrix: all-padding ELL
+            return ELL(
+                vals=jnp.zeros((nrows, k), data.dtype),
+                cols=jnp.zeros((nrows, k), jnp.int32),
+                shape=csr.shape,
+            )
         slot = np.arange(k, dtype=np.int64)[None, :]
         src = indptr[:-1, None].astype(np.int64) + slot
         valid = slot < lengths[:, None]
