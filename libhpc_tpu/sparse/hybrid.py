@@ -10,6 +10,13 @@ small). SpMV = dia_spmv + ell_spmv on the permuted vector.
 The effectiveness knob is `coverage` = fraction of nnz captured by the
 band — reported so users can see the gather exposure. Setup is host-side
 scipy (one-time); the hot path is jitted.
+
+Applicability (measured, PERF_NOTES.md): quasi-structured matrices
+(stencils, banded FD/FV, tensor-product operators) reach coverage ≈ 1 and
+run at DIA speed. General FEM matrices (cant/pwtk class) stay sparse
+*inside* their RCM band — a diagonal census captures only ~20% — so their
+production path remains BSR (block row-gather amortization), not this
+hybrid.
 """
 
 from __future__ import annotations
