@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from libhpc_tpu.ops._pallas_utils import LANE, cdiv, interpret_mode
+from libhpc_tpu.ops._pallas_utils import cdiv, interpret_mode
 
 TILE = 128
 

@@ -10,7 +10,6 @@ is the halo-exchange primitive built on `ppermute`.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 
 

@@ -19,7 +19,6 @@ shard_map program.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -9,11 +9,10 @@ reference's ghost-cell stencil workloads
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from libhpc_tpu.parallel import halo as _halo
 

@@ -14,7 +14,6 @@ All functions run *inside* shard_map: `x` is the local shard.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

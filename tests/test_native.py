@@ -122,7 +122,10 @@ def test_asan_selftest():
 
 def test_bench_counter_ordering():
     """Sanity: unsynchronized increments are cheapest; contended primitives
-    cost more (the reference's qualitative finding)."""
-    unsync = native.bench_counter(0, threads=2, iters=200_000)
-    atomic = native.bench_counter(1, threads=2, iters=200_000)
+    cost more (the reference's qualitative finding). min-of-3 to keep the
+    comparison robust on a noisy 2-core container."""
+    unsync = min(native.bench_counter(0, threads=2, iters=200_000)
+                 for _ in range(3))
+    atomic = min(native.bench_counter(1, threads=2, iters=200_000)
+                 for _ in range(3))
     assert unsync < atomic
