@@ -158,3 +158,47 @@ def radix_sort_pipeline(x, bits_per_pass: int = 8, tile: int = TILE):
     for p in range(n_passes):
         x = one_pass(x, jnp.uint32(p * bits_per_pass))
     return x
+
+
+# ---------------------------------------------------------------------------
+# Bitonic sort network (vectorized butterfly stages)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def bitonic_sort(x):
+    """Full bitonic sort network in vectorized XLA ops.
+
+    Every compare-exchange stage at distance d is a reshape to
+    (n/2d, 2, d) + min/max + direction select — pure VPU work with zero
+    gather/scatter (the butterfly partner i XOR d is reached by layout, the
+    same trick as the reference's warp-shuffle exchanges). log²(n)/2 stages,
+    unrolled at trace time; pads to a power of two with UINT32_MAX.
+
+    Exists as (a) the network formulation `lax.sort` itself uses under the
+    hood — here inspectable and tunable — and (b) the base of a future
+    merge-path large sort (ROADMAP #2).
+    """
+    x = x.astype(jnp.uint32)
+    n = x.shape[0]
+    if n <= 1:
+        return x
+    k = max(1, (n - 1).bit_length())
+    n_pad = 1 << k
+    xp = jnp.full((n_pad,), jnp.uint32(0xFFFFFFFF)).at[:n].set(x)
+
+    for k2 in range(1, k + 1):          # bitonic run length 2^k2
+        run = 1 << k2
+        for sub in range(k2 - 1, -1, -1):
+            d = 1 << sub
+            v = xp.reshape(n_pad // (2 * d), 2, d)
+            blk = jnp.arange(n_pad // (2 * d), dtype=jnp.uint32)
+            # ascending iff the element's position / run is even
+            asc = (((blk * 2 * d) // run) % 2 == 0)[:, None]
+            a, b = v[:, 0, :], v[:, 1, :]
+            mn, mx = jnp.minimum(a, b), jnp.maximum(a, b)
+            v = jnp.stack(
+                [jnp.where(asc, mn, mx), jnp.where(asc, mx, mn)], axis=1
+            )
+            xp = v.reshape(n_pad)
+    return xp[:n]

@@ -111,3 +111,16 @@ def test_sort_10m(rng):
     x = rng.integers(0, 1 << 32, size=10_000_000, dtype=np.uint32)
     got = srt.sort_u32(jnp.asarray(x))
     assert bool(srt.is_sorted(got))
+
+
+@pytest.mark.parametrize("n", [1, 2, 111, 256, 1024, 3987, 8192])
+def test_bitonic_sort(rng, n):
+    x = rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+    got = np.asarray(srt.bitonic_sort(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_bitonic_extremes():
+    x = np.array([0xFFFFFFFF, 0, 0xFFFFFFFF, 5, 0], np.uint32)
+    got = np.asarray(srt.bitonic_sort(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.sort(x))
