@@ -130,3 +130,50 @@ def pcg(matvec: Callable, diag, b, x0=None, tol: float = 1e-6,
             jnp.zeros((), jnp.int32))
     x, r, z, p, rz, rr, it = jax.lax.while_loop(cond, body, init)
     return x, it, rr
+
+
+@partial(jax.jit, static_argnames=("matvec", "max_iter"))
+def bicgstab(matvec: Callable, b, x0=None, tol: float = 1e-6,
+             max_iter: int = 1000):
+    """BiCGSTAB for general (nonsymmetric) systems. Returns (x, iters, res2).
+
+    Same compile-once lax.while_loop discipline as cg; breakdown
+    (rho ≈ 0) exits early via the residual test.
+    """
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    rhat = r0
+    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(
+        _sdot(b, b), jnp.ones((), b.dtype)
+    )
+    eps = jnp.asarray(1e-30, b.dtype)
+
+    def cond(s):
+        x, r, p, v, rho, alpha, omega, rr, it = s
+        return (rr > tol2) & (it < max_iter)
+
+    def body(s):
+        x, r, p, v, rho, alpha, omega, rr, it = s
+        rho_new = _sdot(rhat, r)
+        beta = (rho_new / jnp.where(jnp.abs(rho) > eps, rho, eps)) * (
+            alpha / jnp.where(jnp.abs(omega) > eps, omega, eps)
+        )
+        p = r + beta * (p - omega * v)
+        v = matvec(p)
+        alpha = rho_new / jnp.where(
+            jnp.abs(_sdot(rhat, v)) > eps, _sdot(rhat, v), eps
+        )
+        s_vec = r - alpha * v
+        t = matvec(s_vec)
+        tt = _sdot(t, t)
+        omega = _sdot(t, s_vec) / jnp.where(tt > eps, tt, eps)
+        x = x + alpha * p + omega * s_vec
+        r = s_vec - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, _sdot(r, r), it + 1)
+
+    one = jnp.ones((), b.dtype)
+    init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+            _sdot(r0, r0), jnp.zeros((), jnp.int32))
+    x, r, p, v, rho, alpha, omega, rr, it = jax.lax.while_loop(
+        cond, body, init)
+    return x, it, rr

@@ -122,3 +122,22 @@ def test_spgemm_blocked(row_block):
                               row_block=row_block)
     np.testing.assert_allclose(np.asarray(C.todense()), (A @ B).toarray(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bicgstab_nonsymmetric(rng):
+    """BiCGSTAB solves a nonsymmetric convection-diffusion-like system that
+    plain CG cannot."""
+    n = 24
+    # upwind convection + diffusion: tridiagonal, nonsymmetric
+    main = np.full(n * n, 4.2, np.float32)
+    A = poisson2d(n).tolil().astype(np.float32)
+    for i in range(n * n - 1):
+        A[i, i + 1] = A[i, i + 1] - 0.3  # convective bias
+    A = A.tocsr()
+    csr = CSR.from_scipy(A)
+    x_true = rng.random(n * n).astype(np.float32)
+    b = jnp.asarray(A @ x_true)
+    x, it, res = solver.bicgstab(lambda v: csr @ v, b, tol=1e-6,
+                                 max_iter=3000)
+    assert int(it) < 3000
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=2e-2, atol=2e-2)
