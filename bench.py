@@ -89,4 +89,14 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as e:  # noqa: BLE001 — always emit a JSON line
+        print(json.dumps({
+            "metric": "csr_spmv_roofline_fraction",
+            "value": 0.0,
+            "unit": "fraction_of_measured_hbm_speed_of_light",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        sys.exit(1)
