@@ -132,16 +132,21 @@ class BlockGrid:
         """
         bx, by, ox, oy = self._split(xs.astype(jnp.int32), ys.astype(jnp.int32))
         slot = self.tile_map[by, bx]
-        slot_safe = jnp.where(slot >= 0, slot, self.capacity)  # OOB → dropped
+        b = self.block_size
+        # linearized destination: XLA lowers flat 1D scatter far better than
+        # multi-index 3D scatter on TPU (measured ~30x, scripts/exp_scatter.py)
+        lin = slot * (b * b) + oy * b + ox
+        n_lin = self.capacity * b * b
+        lin_safe = jnp.where(slot >= 0, lin, n_lin)  # OOB → dropped
+        flat = self.tiles.reshape(n_lin)
         if mode == "add":
-            tiles = self.tiles.at[slot_safe, oy, ox].add(
-                vals, mode="drop"
-            )
+            flat = flat.at[lin_safe].add(vals, mode="drop")
         elif mode == "set":
-            tiles = self.tiles.at[slot_safe, oy, ox].set(vals, mode="drop")
+            flat = flat.at[lin_safe].set(vals, mode="drop")
         else:
             raise ValueError(mode)
-        return dataclasses.replace(self, tiles=tiles)
+        return dataclasses.replace(
+            self, tiles=flat.reshape(self.tiles.shape))
 
     @jax.jit
     def read_batch(self, xs, ys):
@@ -149,7 +154,9 @@ class BlockGrid:
         default T{} for null blocks, RootGrid.hpp:25-45)."""
         bx, by, ox, oy = self._split(xs.astype(jnp.int32), ys.astype(jnp.int32))
         slot = self.tile_map[by, bx]
-        vals = self.tiles[jnp.clip(slot, 0, self.capacity - 1), oy, ox]
+        b = self.block_size
+        lin = jnp.clip(slot, 0, self.capacity - 1) * (b * b) + oy * b + ox
+        vals = self.tiles.reshape(-1)[lin]  # flat 1D gather (see write_batch)
         return jnp.where(slot >= 0, vals, 0)
 
     # -- foreach / todense -------------------------------------------------
