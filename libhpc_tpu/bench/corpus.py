@@ -106,6 +106,20 @@ def bench_sort():
     per = time_iterated(step, x, iters=8, iters_small=2)
     _emit("sort_u32_10M", per, gelem_per_s=1e7 / per / 1e9)
 
+    from libhpc_tpu.ops.sort_pallas import merge_sort_u32
+
+    def step_p(v):
+        return jnp.roll(merge_sort_u32(v), 1)
+
+    per = time_iterated(step_p, x, iters=8, iters_small=2)
+    _emit("merge_sort_10M", per, gelem_per_s=1e7 / per / 1e9)
+
+    n100 = 100_000_000  # reference GPU gtest e2e scale
+    x100 = jnp.asarray(rng.integers(0, 1 << 32, n100, dtype=np.uint32))
+    per = time_iterated(lambda v: jnp.roll(merge_sort_u32(v), 1), x100,
+                        iters=3, iters_small=1)
+    _emit("merge_sort_100M", per, gelem_per_s=n100 / per / 1e9)
+
 
 def bench_scan_hist():
     from libhpc_tpu.ops.scan import exclusive_scan_pallas

@@ -56,8 +56,8 @@ FLIP = np.int32(-(2**31))      # sign-bit flip: u32 order <-> i32 order
 POS_INF = np.int32(2**31 - 1)  # +inf in flipped domain (= u32 0xFFFFFFFF)
 NEG_INF = np.int32(-(2**31))
 
-DEFAULT_LOG2C = 14   # chunk = 16384 elements (128 x 128 VMEM tile)
-DEFAULT_LOG2W = 15   # merge window = 32768 elements
+DEFAULT_LOG2C = 16   # chunk elements; v5e sweep optimum (2^17 network no
+DEFAULT_LOG2W = 17   # longer compiles; 2^16/2^17 beat 2^14/2^15 by ~35%)
 
 
 # ---------------------------------------------------------------------------
@@ -87,6 +87,24 @@ def _exchange(v, idx, s: int, take_min):
 def _flat_iota(rows: int):
     return (jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0) * LANE
             + jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1))
+
+
+def _exchange_uniform(v, idx, s: int, desc):
+    """Compare-exchange at distance 2^s with direction uniform over the
+    block (merge cleanup). Roll-based: reshape-pairing was measured slower
+    on v5e (relayout copies cost more than rolls)."""
+    d = 1 << s
+    if d >= LANE:
+        axis, shift = 0, d // LANE
+    else:
+        axis, shift = 1, d
+    size = v.shape[axis]
+    fwd = pltpu.roll(v, size - shift, axis)
+    bwd = pltpu.roll(v, shift, axis)
+    upper = (idx & d) != 0
+    p = jnp.where(upper, bwd, fwd)
+    take_min = upper == desc  # asc: min at lower; desc: min at upper
+    return jnp.where(take_min, jnp.minimum(v, p), jnp.maximum(v, p))
 
 
 # ---------------------------------------------------------------------------
@@ -269,9 +287,7 @@ def _merge_kernel(rowA, dA, rowB, dB, kA, kB, dsc,
 
     # cleanup: sort the bitonic W-window (direction by output-run parity)
     for s in range(log2w - 1, -1, -1):
-        take_min = ((idx >> s) & 1) == 0
-        take_min = take_min != desc
-        v = _exchange(v, idx, s, take_min)
+        v = _exchange_uniform(v, idx, s, desc)
     if unflip:
         v = v ^ FLIP
     o_ref[:] = v

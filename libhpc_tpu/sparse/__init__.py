@@ -4,3 +4,4 @@ from libhpc_tpu.sparse.bsr import BSR  # noqa: F401
 from libhpc_tpu.sparse.ell import ELL  # noqa: F401
 from libhpc_tpu.sparse.dia import DIA  # noqa: F401
 from libhpc_tpu.sparse.hybrid import BandedHybrid  # noqa: F401
+from libhpc_tpu.sparse.grid import BlockGrid, NestedGrid  # noqa: F401

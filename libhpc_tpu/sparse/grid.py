@@ -133,8 +133,9 @@ class BlockGrid:
         bx, by, ox, oy = self._split(xs.astype(jnp.int32), ys.astype(jnp.int32))
         slot = self.tile_map[by, bx]
         b = self.block_size
-        # linearized destination: XLA lowers flat 1D scatter far better than
-        # multi-index 3D scatter on TPU (measured ~30x, scripts/exp_scatter.py)
+        # linearized destination: flat 1D scatter (equal speed to 3D
+        # multi-index scatter on TPU — measured, scripts/exp_scatter.py —
+        # but one fused index computation instead of three scatter dims)
         lin = slot * (b * b) + oy * b + ox
         n_lin = self.capacity * b * b
         lin_safe = jnp.where(slot >= 0, lin, n_lin)  # OOB → dropped
@@ -183,3 +184,181 @@ class BlockGrid:
     @jax.jit
     def n_allocated(self):
         return self.n_active
+
+
+# ---------------------------------------------------------------------------
+# generic batched slot allocator (shared by nested grids)
+# ---------------------------------------------------------------------------
+
+
+def _alloc_slots(flat_map, keys, n_active, capacity: int):
+    """Batched dedupe-allocate over a flat int32 slot map (-1 = empty).
+
+    keys: uint32; 0xFFFFFFFF is the 'invalid' sentinel (dropped). For each
+    unique valid key, keep the existing slot or assign the next pool slot;
+    fail-soft past capacity. The batched replacement for the reference's
+    per-element DCLP CAS / hash-insert allocation
+    (PointerBlock.hpp:100-125, HashBlock.hpp:92-102)."""
+    SENT = jnp.uint32(0xFFFFFFFF)
+    ks = jax.lax.sort(keys)
+    is_head = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    head_order = jnp.argsort(~is_head, stable=True)
+    uniq = ks[head_order]                      # unique keys packed first
+    n_uniq = jnp.sum(is_head.astype(jnp.int32))
+    k = jnp.arange(keys.shape[0])
+    valid = uniq != SENT
+    uniq_i = jnp.where(valid, uniq, 0).astype(jnp.int32)
+    existing = flat_map[uniq_i]
+    is_new = valid & (existing < 0) & (k < n_uniq)
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - is_new
+    slot = jnp.where(is_new, n_active + new_rank, existing)
+    slot = jnp.where(slot < capacity, slot, existing)  # fail-soft
+    do_write = is_new & (slot >= 0)
+    fm = flat_map.at[jnp.where(do_write, uniq_i, 0)].max(
+        jnp.where(do_write, slot.astype(jnp.int32), -1))
+    n_new = jnp.minimum(
+        n_active + jnp.sum(is_new.astype(jnp.int32)), jnp.int32(capacity))
+    return fm, n_new
+
+
+# ---------------------------------------------------------------------------
+# 3-level nested grid (pointer -> mid -> dense leaf parity)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NestedGrid:
+    """Three-level sparse grid — full structural parity with the reference's
+    composed layout stacks, e.g. PointerBlock<N, HashBlock<DenseBlock<B>>>
+    (RootGrid.hpp:12 + SparseDS.hpp:4-7, composed in
+    test_hpc_benchmark.cpp:861-909):
+
+      map0 (G0y, G0x) int32        — top pointer grid: mid slot or -1
+      mid_maps (cap_mid, G1y, G1x) — per-mid pointer grids: leaf slot or -1
+      leaves (cap_leaf, B, B)      — dense leaf pool
+
+    Element (x, y) resolves through two indirections; all mutation is
+    batched sort-dedupe-allocate (no atomics needed on TPU)."""
+
+    map0: jax.Array
+    mid_maps: jax.Array
+    leaves: jax.Array
+    n_mid: jax.Array
+    n_leaf: jax.Array
+    block_size: int = dataclasses.field(metadata=dict(static=True))
+    mid_grid: tuple = dataclasses.field(metadata=dict(static=True))
+    cap_mid: int = dataclasses.field(metadata=dict(static=True))
+    cap_leaf: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def create(grid0: tuple, mid_grid: tuple = (8, 8), block_size: int = 16,
+               cap_mid: int = 64, cap_leaf: int = 1024,
+               dtype=jnp.float32) -> "NestedGrid":
+        g0y, g0x = grid0
+        g1y, g1x = mid_grid
+        return NestedGrid(
+            map0=jnp.full((g0y, g0x), -1, jnp.int32),
+            mid_maps=jnp.full((cap_mid, g1y, g1x), -1, jnp.int32),
+            leaves=jnp.zeros((cap_leaf, block_size, block_size), dtype),
+            n_mid=jnp.zeros((), jnp.int32),
+            n_leaf=jnp.zeros((), jnp.int32),
+            block_size=block_size,
+            mid_grid=(g1y, g1x),
+            cap_mid=cap_mid,
+            cap_leaf=cap_leaf,
+        )
+
+    @property
+    def shape(self) -> tuple:
+        g0y, g0x = self.map0.shape
+        g1y, g1x = self.mid_grid
+        b = self.block_size
+        return (g0y * g1y * b, g0x * g1x * b)
+
+    def _split(self, xs, ys):
+        b = self.block_size
+        g1y, g1x = self.mid_grid
+        ox, oy = xs % b, ys % b
+        tx, ty = xs // b, ys // b
+        bx1, by1 = tx % g1x, ty % g1y
+        bx0, by0 = tx // g1x, ty // g1y
+        return bx0, by0, bx1, by1, ox, oy
+
+    @jax.jit
+    def touch_batch(self, xs, ys) -> "NestedGrid":
+        xs, ys = xs.astype(jnp.int32), ys.astype(jnp.int32)
+        bx0, by0, bx1, by1, _, _ = self._split(xs, ys)
+        g0y, g0x = self.map0.shape
+        g1y, g1x = self.mid_grid
+        # level 0: allocate mid blocks
+        key0 = (by0 * g0x + bx0).astype(jnp.uint32)
+        m0, n_mid = _alloc_slots(self.map0.reshape(-1), key0, self.n_mid,
+                                 self.cap_mid)
+        slot0 = m0[by0 * g0x + bx0]
+        # level 1: allocate leaves within each allocated mid block
+        key1 = slot0 * (g1y * g1x) + by1 * g1x + bx1
+        key1 = jnp.where(slot0 >= 0, key1.astype(jnp.uint32),
+                         jnp.uint32(0xFFFFFFFF))
+        m1, n_leaf = _alloc_slots(self.mid_maps.reshape(-1), key1,
+                                  self.n_leaf, self.cap_leaf)
+        return dataclasses.replace(
+            self, map0=m0.reshape(g0y, g0x),
+            mid_maps=m1.reshape(self.mid_maps.shape),
+            n_mid=n_mid, n_leaf=n_leaf)
+
+    def _leaf_lin(self, xs, ys):
+        """Linear leaf-pool index per element; < 0 where unallocated."""
+        bx0, by0, bx1, by1, ox, oy = self._split(xs, ys)
+        g0y, g0x = self.map0.shape
+        g1y, g1x = self.mid_grid
+        b = self.block_size
+        slot0 = self.map0[by0, bx0]
+        mid_idx = (jnp.clip(slot0, 0, self.cap_mid - 1) * (g1y * g1x)
+                   + by1 * g1x + bx1)
+        slot1 = self.mid_maps.reshape(-1)[mid_idx]
+        slot1 = jnp.where(slot0 >= 0, slot1, -1)
+        lin = slot1 * (b * b) + oy * b + ox
+        return jnp.where(slot1 >= 0, lin, -1)
+
+    @partial(jax.jit, static_argnames=("mode",))
+    def write_batch(self, xs, ys, vals, mode: str = "add") -> "NestedGrid":
+        xs, ys = xs.astype(jnp.int32), ys.astype(jnp.int32)
+        lin = self._leaf_lin(xs, ys)
+        b = self.block_size
+        n_lin = self.cap_leaf * b * b
+        lin_safe = jnp.where(lin >= 0, lin, n_lin)  # OOB -> dropped
+        flat = self.leaves.reshape(n_lin)
+        if mode == "add":
+            flat = flat.at[lin_safe].add(vals, mode="drop")
+        elif mode == "set":
+            flat = flat.at[lin_safe].set(vals, mode="drop")
+        else:
+            raise ValueError(mode)
+        return dataclasses.replace(
+            self, leaves=flat.reshape(self.leaves.shape))
+
+    @jax.jit
+    def read_batch(self, xs, ys):
+        xs, ys = xs.astype(jnp.int32), ys.astype(jnp.int32)
+        lin = self._leaf_lin(xs, ys)
+        vals = self.leaves.reshape(-1)[jnp.clip(lin, 0, None)]
+        return jnp.where(lin >= 0, vals, 0)
+
+    @partial(jax.jit, static_argnames=("fn",))
+    def map_leaves(self, fn) -> "NestedGrid":
+        """fn: (B, B) -> (B, B) over active leaves (the reference's foreach
+        recursion, RootGrid.hpp:62-75)."""
+        active = jnp.arange(self.cap_leaf) < self.n_leaf
+        new = jax.vmap(fn)(self.leaves)
+        leaves = jnp.where(active[:, None, None], new, self.leaves)
+        return dataclasses.replace(self, leaves=leaves)
+
+    @jax.jit
+    def todense(self) -> jax.Array:
+        h, w = self.shape
+        yy = jnp.arange(h, dtype=jnp.int32)
+        xx = jnp.arange(w, dtype=jnp.int32)
+        ygrid = jnp.repeat(yy, w)
+        xgrid = jnp.tile(xx, h)
+        return self.read_batch(xgrid, ygrid).reshape(h, w)
