@@ -113,17 +113,21 @@ def _exchange_uniform(v, idx, s: int, desc):
 
 
 def _chunk_kernel(x_ref, o_ref, *, log2c: int, alternate: bool,
-                  unflip: bool):
+                  invert: bool, unflip: bool):
     v = x_ref[:] ^ FLIP
     rows = v.shape[0]
     idx = _flat_iota(rows)
     if alternate:
-        desc = (pl.program_id(0) & 1) == 1  # odd chunks sort descending
+        # odd chunks sort descending (inverted when the whole segment is
+        # destined to be a descending merge operand)
+        desc = ((pl.program_id(0) & 1) == 1) != invert
     for k2 in range(1, log2c + 1):
         for s in range(k2 - 1, -1, -1):
             take_min = ((idx >> k2) & 1) == ((idx >> s) & 1)
             if alternate:
                 take_min = take_min != desc
+            elif invert:
+                take_min = jnp.logical_not(take_min)
             v = _exchange(v, idx, s, take_min)
     if unflip:
         v = v ^ FLIP
@@ -131,7 +135,7 @@ def _chunk_kernel(x_ref, o_ref, *, log2c: int, alternate: bool,
 
 
 def _chunk_sort(x_i32, pad_rows: int, total_rows: int, *, log2c: int,
-                alternate: bool, unflip: bool):
+                alternate: bool, invert: bool, unflip: bool):
     """Sort each chunk; write into a padded work buffer at row `pad_rows`.
 
     Input: (P,) int32 (u32 bit pattern). Output: (total_rows, 128) int32 in
@@ -142,7 +146,7 @@ def _chunk_sort(x_i32, pad_rows: int, total_rows: int, *, log2c: int,
     n_chunks = P // C
     out = pl.pallas_call(
         partial(_chunk_kernel, log2c=log2c, alternate=alternate,
-                unflip=unflip),
+                invert=invert, unflip=unflip),
         out_shape=jax.ShapeDtypeStruct((total_rows, LANE), jnp.int32),
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec((crows, LANE), lambda c: (c, 0),
@@ -160,7 +164,8 @@ def _chunk_sort(x_i32, pad_rows: int, total_rows: int, *, log2c: int,
 # ---------------------------------------------------------------------------
 
 
-def _level_scalars(buf, P: int, PAD: int, log2r: int, log2w: int):
+def _level_scalars(buf, P: int, PAD: int, log2r: int, log2w: int,
+                   invert: bool):
     """Merge-path split for every output window of one level (vectorized
     binary search; the descendant of the reference's global-base search
     structure, but over values instead of bins).
@@ -178,7 +183,7 @@ def _level_scalars(buf, P: int, PAD: int, log2r: int, log2w: int):
     pair = out_pos >> (log2r + 1)
     base = pair << (log2r + 1)
     o = out_pos - base
-    desc = (pair & 1) == 1
+    desc = ((pair & 1) == 1) != invert
 
     lo = jnp.maximum(0, o - R)
     hi = jnp.minimum(o, R)
@@ -294,8 +299,8 @@ def _merge_kernel(rowA, dA, rowB, dB, kA, kB, dsc,
 
 
 def _merge_level(buf, P: int, PAD: int, total_rows: int, log2r: int,
-                 log2w: int, unflip: bool):
-    scalars = _level_scalars(buf, P, PAD, log2r, log2w)
+                 log2w: int, invert: bool, unflip: bool):
+    scalars = _level_scalars(buf, P, PAD, log2r, log2w, invert)
     W = 1 << log2w
     wrows = W // LANE
     nw = P // W
@@ -325,8 +330,206 @@ def _merge_level(buf, P: int, PAD: int, total_rows: int, log2r: int,
 
 
 # ---------------------------------------------------------------------------
+# unequal-pair merge (segment fold; also the public merge primitive)
+# ---------------------------------------------------------------------------
+
+
+def _pair_scalars(bufA, bufB, LA: int, LB: int, PAD: int, log2w: int,
+                  desc_out: bool):
+    """Merge-path splits for one merge of A (ascending, length LA) with B
+    (descending storage, length LB) — the unequal-run generalization of
+    _level_scalars. Output direction desc_out (uniform for the call)."""
+    W = np.int32(1 << log2w)
+    nw = (LA + LB) // int(W)
+    fA = bufA.reshape(-1)
+    fB = bufB.reshape(-1)
+
+    o = jnp.arange(nw, dtype=jnp.int32) * W
+    lo = jnp.maximum(0, o - LB)
+    hi = jnp.minimum(o, LA)
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = (lo + hi) >> 1
+        kb = o - 1 - mid
+        kbc = jnp.clip(kb, 0, LB - 1)
+        if desc_out:
+            # beta = #A among top-o: A_top(mid) >= B_top(kb)
+            va = fA[PAD + LA - 1 - mid]
+            vb = fB[PAD + kbc]
+            pred = (kb >= 0) & (va >= vb)
+        else:
+            # alpha = #A among o smallest: A[mid] <= B_rank(kb)
+            va = fA[PAD + mid]
+            vb = fB[PAD + LB - 1 - kbc]
+            pred = (kb >= 0) & (va <= vb)
+        return (jnp.where(pred, mid + 1, lo), jnp.where(pred, hi, mid))
+
+    iters = min(LA, LB).bit_length() + 1
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    split = lo
+    rho = o - split
+    if desc_out:
+        sA = LA - split - W
+        sB = rho
+    else:
+        sA = split
+        sB = LB - rho - W
+    kA = jnp.maximum(0, split + W - LA)
+    kB = jnp.maximum(0, rho + W - LB)
+    sA = sA + PAD
+    sB = sB + PAD
+    rowA = (sA // (8 * LANE)) * 8
+    rowB = (sB // (8 * LANE)) * 8
+    dsc = jnp.full((nw,), int(desc_out), jnp.int32)
+    return (rowA, sA - rowA * LANE, rowB, sB - rowB * LANE, kA, kB, dsc)
+
+
+def _pair_merge_kernel(rowA, dA, rowB, dB, kA, kB, dsc,
+                       xA_any, xB_any, o_ref, scrA, scrB, semA, semB, *,
+                       log2w: int, unflip: bool):
+    w = pl.program_id(0)
+    nw = pl.num_programs(0)
+    W = 1 << log2w
+    wrows = W // LANE
+    slot = w % 2
+
+    def dma(wi, sl):
+        return (
+            pltpu.make_async_copy(
+                xA_any.at[pl.ds(rowA[wi], wrows + 16), :],
+                scrA.at[sl], semA.at[sl]),
+            pltpu.make_async_copy(
+                xB_any.at[pl.ds(rowB[wi], wrows + 16), :],
+                scrB.at[sl], semB.at[sl]),
+        )
+
+    @pl.when(w == 0)
+    def _():
+        a, b = dma(w, slot)
+        a.start()
+        b.start()
+
+    @pl.when(w + 1 < nw)
+    def _():
+        a, b = dma(w + 1, 1 - slot)
+        a.start()
+        b.start()
+
+    cpA, cpB = dma(w, slot)
+    cpA.wait()
+    cpB.wait()
+
+    desc = dsc[w] != 0
+    fill = jnp.where(desc, NEG_INF, POS_INF)
+    idx = _flat_iota(wrows)
+
+    candA = _extract(scrA.at[slot], dA[w], wrows)
+    candB = _extract(scrB.at[slot], dB[w], wrows)
+    asc = jnp.logical_not(desc)
+    maskA = (desc & (idx < kA[w])) | (asc & (idx >= W - kA[w]))
+    maskB = (desc & (idx >= W - kB[w])) | (asc & (idx < kB[w]))
+    candA = jnp.where(maskA, fill, candA)
+    candB = jnp.where(maskB, fill, candB)
+
+    lo = jnp.minimum(candA, candB)
+    hi = jnp.maximum(candA, candB)
+    v = jnp.where(desc, hi, lo)
+    for s in range(log2w - 1, -1, -1):
+        v = _exchange_uniform(v, idx, s, desc)
+    if unflip:
+        v = v ^ FLIP
+    o_ref[:] = v
+
+
+def _merge_pair(bufA, bufB, LA: int, LB: int, PAD: int, log2w: int,
+                desc_out: bool, unflip: bool):
+    """Merge two sorted segments (A asc, B desc-stored) into a fresh padded
+    buffer holding LA+LB sorted elements at [PAD, PAD+LA+LB)."""
+    scalars = _pair_scalars(bufA, bufB, LA, LB, PAD, log2w, desc_out)
+    W = 1 << log2w
+    wrows = W // LANE
+    nw = (LA + LB) // W
+    total_rows = (PAD + LA + LB + PAD + 16 * LANE) // LANE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(nw,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (wrows, LANE),
+            lambda w, *refs, pw=PAD // W: (pw + w, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, wrows + 16, LANE), jnp.int32),
+            pltpu.VMEM((2, wrows + 16, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_pair_merge_kernel, log2w=log2w, unflip=unflip),
+        out_shape=jax.ShapeDtypeStruct((total_rows, LANE), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret_mode(),
+    )(*scalars, bufA, bufB)
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
+
+
+def _sort_segment(xi, log2c: int, log2w: int, invert: bool, unflip: bool):
+    """Sort a power-of-two-chunk segment. xi: (P,) raw-bit int32 with
+    P = C * 2^J. Returns the padded work buffer, data (flipped domain unless
+    unflip) at [PAD, PAD+P), ascending (or descending when invert)."""
+    P = xi.shape[0]
+    C = 1 << log2c
+    W0 = 1 << log2w
+    J = (P // C).bit_length() - 1
+
+    PAD = max(W0, C)
+    TAILPAD = PAD + 16 * LANE  # covers the widest (wrows+16)-row DMA read
+    total_rows = (PAD + P + TAILPAD) // LANE
+
+    # invert applies ONLY to the final level (or the lone chunk): interior
+    # runs must keep the strict (asc, desc) pair alternation either way
+    buf = _chunk_sort(xi, PAD // LANE, total_rows, log2c=log2c,
+                      alternate=(J > 0), invert=(invert and J == 0),
+                      unflip=(unflip and J == 0))
+    for j in range(1, J + 1):
+        log2r = log2c + j - 1
+        lw = min(log2w, log2r)  # window never larger than a run
+        buf = _merge_level(buf, P, PAD, total_rows, log2r, lw,
+                           invert=(invert and j == J),
+                           unflip=(unflip and j == J))
+    return buf, PAD
+
+
+def _decompose(n: int, C: int, max_segs: int = 3):
+    """Split n into <= max_segs power-of-two segment sizes (each >= C),
+    greedily by leading bits; the final segment pads the remainder up.
+    Bounds total padding waste by ~12.5% (vs 2x for a single 2^k pad)."""
+    if n <= C:
+        return [C]
+    segs = []
+    rem = n
+    while rem > 0:
+        if len(segs) == max_segs - 1:
+            segs.append(max(C, 1 << (rem - 1).bit_length()))
+            break
+        s = max(C, 1 << (rem.bit_length() - 1))
+        segs.append(s)
+        rem -= min(s, rem)
+    # merging needs distinct fold steps; collapse equal tail segments that
+    # a single power-of-two pad would cover anyway
+    total = sum(segs)
+    single = max(C, 1 << (n - 1).bit_length())
+    if total >= single:
+        return [single]
+    return segs
 
 
 @partial(jax.jit, static_argnames=("log2c", "log2w"))
@@ -334,9 +537,11 @@ def merge_sort_u32(x, log2c: int = DEFAULT_LOG2C,
                    log2w: int = DEFAULT_LOG2W):
     """Sort uint32 ascending — Pallas chunk-sort + merge-path levels.
 
-    ~2-3x faster than `lax.sort` at >=1M elements on v5e; for small arrays
-    use `sort.sort_u32`. log2c/log2w are tuning knobs (tests shrink them to
-    exercise multi-level merges at small sizes).
+    2-3x faster than `lax.sort` at >=1M elements on v5e. Arbitrary n: the
+    input is decomposed into <=3 power-of-two segments (padding waste
+    <=~12.5%), each sorted by the chunk+level pipeline, then folded with
+    unequal-pair merge-path merges. log2c/log2w are tuning knobs (tests
+    shrink them to exercise multi-level merges at small sizes).
     """
     n = x.shape[0]
     x = x.astype(jnp.uint32)
@@ -345,27 +550,42 @@ def merge_sort_u32(x, log2c: int = DEFAULT_LOG2C,
     xi = jax.lax.bitcast_convert_type(x, jnp.int32)
 
     C = 1 << log2c
-    W0 = 1 << log2w
-    n_chunks = 1 << (cdiv(n, C) - 1).bit_length()  # next power of two
-    P = n_chunks * C
-    J = n_chunks.bit_length() - 1  # number of merge levels
+    segs = _decompose(n, C)
+    single = len(segs) == 1
 
-    PAD = max(W0, C)
-    TAILPAD = PAD + 16 * LANE  # covers the widest (wrows+16)-row DMA read
-    total_rows = (PAD + P + TAILPAD) // LANE
+    # slice + pad each segment (raw-domain u32 max = int32 -1 -> +inf)
+    bufs = []
+    off = 0
+    for i, s in enumerate(segs):
+        take = min(s, n - off)
+        seg = xi[off:off + take]
+        if take < s:
+            seg = jnp.concatenate([seg, jnp.full((s - take,), -1, jnp.int32)])
+        # the last segment of a multi-segment sort is the first descending
+        # merge operand; intermediate fold outputs stay descending too
+        invert = (not single) and (i == len(segs) - 1)
+        buf, _ = _sort_segment(seg, log2c, log2w, invert=invert,
+                               unflip=single)
+        bufs.append(buf)
+        off += take
 
-    if P > n:
-        # raw-domain u32 max (0xFFFFFFFF); becomes +inf after in-kernel flip
-        xi = jnp.concatenate(
-            [xi, jnp.full((P - n,), -1, jnp.int32)])
+    PAD = max(1 << log2w, C)  # uniform across all segment buffers
+    if single:
+        buf = bufs[0]
+        out = buf.reshape(-1)[PAD:PAD + n]
+        return jax.lax.bitcast_convert_type(out, jnp.uint32)
 
-    buf = _chunk_sort(xi, PAD // LANE, total_rows, log2c=log2c,
-                      alternate=(J > 0), unflip=(J == 0))
-    for j in range(1, J + 1):
-        log2r = log2c + j - 1
-        lw = min(log2w, log2r)  # window never larger than a run
-        buf = _merge_level(buf, P, PAD, total_rows, log2r, lw,
-                           unflip=(j == J))
+    # fold right-to-left: accumulated merge stays the descending B operand
+    acc, L_acc = bufs[-1], segs[-1]
+    for i in range(len(segs) - 2, -1, -1):
+        ba, LA = bufs[i], segs[i]
+        last = i == 0
+        total = LA + L_acc
+        # window must divide the merged length (and never exceed PAD)
+        lw = min(log2w, (total & -total).bit_length() - 1)
+        acc = _merge_pair(ba, acc, LA, L_acc, PAD, lw,
+                          desc_out=not last, unflip=last)
+        L_acc = total
 
-    out = buf.reshape(-1)[PAD:PAD + n]
+    out = acc.reshape(-1)[PAD:PAD + n]
     return jax.lax.bitcast_convert_type(out, jnp.uint32)

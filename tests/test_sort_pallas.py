@@ -67,3 +67,41 @@ def test_default_tuning_small(rng):
     x = rng.integers(0, 2**32, size=3000, dtype=np.uint32)
     got = np.asarray(merge_sort_u32(x))
     np.testing.assert_array_equal(got, np.sort(x))
+
+
+# ---------------------------------------------------------------------------
+# segmented (non-power-of-two) path: <=3 power-of-two segments + pair merges
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [
+    5120,   # 4096+1024: exactly two segments (C=1024)
+    5137,   # two segments + tail padding
+    9216,   # 8192+1024
+    9300,   # 8192+1024 with padding in the tail segment
+    11264,  # 8192+2048+1024: three segments
+    11300,  # three segments + padding
+])
+def test_segmented_sizes(rng, n):
+    _check(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+
+
+def test_segmented_extremes(rng):
+    n = 5120
+    x = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+    x[:50] = 0xFFFFFFFF
+    x[50:100] = 0
+    _check(x)
+
+
+def test_decompose_properties():
+    from libhpc_tpu.ops.sort_pallas import _decompose
+    C = 1 << 16
+    for n in [1, C, C + 1, 10_000_000, 100_000_000, 500_000_000,
+              (1 << 27) - 1, 1 << 27]:
+        segs = _decompose(n, C)
+        assert len(segs) <= 3
+        assert sum(segs) >= n
+        assert all(s >= C and (s & (s - 1)) == 0 for s in segs)
+        # padding waste bounded (documented <= ~12.5% + chunk rounding)
+        assert sum(segs) <= max(n * 1.13 + C, 2 * C)
