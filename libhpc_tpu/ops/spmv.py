@@ -51,8 +51,25 @@ def bsr_spmv(bsr, x):
         preferred_element_type=bsr.blocks.dtype,
     )
     yb = jax.ops.segment_sum(
-        prod, bsr.block_row_of_block(), num_segments=bsr.n_block_rows
+        prod, bsr.block_row_of_block(), num_segments=bsr.n_block_rows,
+        indices_are_sorted=True,
     )
+    return yb.reshape(-1)
+
+
+@jax.jit
+def bell_spmv(bell, x):
+    """y = A @ x for BELL A — the unstructured fast path.
+
+    One row-gather of x per block (the measured per-row gather cost is what
+    bounds unstructured SpMV, PERF_NOTES.md) and a dense-axis VPU reduction;
+    no scatter/segment_sum anywhere (padding blocks multiply to zero)."""
+    b = bell.b
+    xb = x.reshape(-1, b)                         # (n_block_cols, b)
+    g = xb[bell.indices]                          # (nbr, K, b) row-gather
+    # contraction over (K, j): blocks (nbr,K,b,b) . g (nbr,K,b) -> (nbr,b)
+    yb = jnp.einsum("rkij,rkj->ri", bell.blocks, g,
+                    preferred_element_type=bell.blocks.dtype)
     return yb.reshape(-1)
 
 

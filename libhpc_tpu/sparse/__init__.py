@@ -5,3 +5,4 @@ from libhpc_tpu.sparse.ell import ELL  # noqa: F401
 from libhpc_tpu.sparse.dia import DIA  # noqa: F401
 from libhpc_tpu.sparse.hybrid import BandedHybrid  # noqa: F401
 from libhpc_tpu.sparse.grid import BlockGrid, NestedGrid  # noqa: F401
+from libhpc_tpu.sparse.bell import BELL  # noqa: F401

@@ -30,22 +30,25 @@ from libhpc_tpu.sparse.bsr import BSR  # noqa: E402
 from libhpc_tpu.ops import spmv  # noqa: E402
 
 
-def time_fn(fn, x0, iters=16, small=2, reps=3):
-    @partial(jax.jit, static_argnums=(1,))
-    def runner(x, m):
+def time_fn(fn, x0, aux, iters=16, small=2, reps=3):
+    """fn(v, aux) -> v-like. aux passed as a jit ARGUMENT so large matrices
+    don't get constant-folded into the program (the relay rejects >limit
+    compile payloads with HTTP 413)."""
+    @partial(jax.jit, static_argnums=(2,))
+    def runner(x, aux, m):
         def body(_, v):
-            return jax.lax.optimization_barrier(fn(v))
+            return jax.lax.optimization_barrier(fn(v, aux))
         out = jax.lax.fori_loop(0, m, body, x)
         return jnp.sum(out[:256].astype(jnp.float32))
 
     for m in (small, iters):
-        float(runner(x0, m))
+        float(runner(x0, aux, m))
 
     def tmin(m):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(runner(x0, m))
+            float(runner(x0, aux, m))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -66,16 +69,31 @@ def main():
             y = np.asarray(spmv.bsr_spmv(bsr, x))[:A.shape[0]]
             ok = np.allclose(y, y_ref, rtol=2e-3, atol=2e-3)
             # chain x -> y needs square padded shape; pad x instead
-            def step(v, bsr=bsr):
+            def step(v, bsr):
                 y = spmv.bsr_spmv(bsr, v)
                 return y[:bsr.shape[1]] if y.shape[0] >= bsr.shape[1] \
                     else jnp.pad(y, (0, bsr.shape[1] - y.shape[0]))
-            t = time_fn(step, x, iters=8, small=2)
+            t = time_fn(step, x, bsr, iters=8, small=2)
             fill = bsr.fill_ratio()
-            print(f"  b={b:3d}: {t*1e3:7.2f} ms  "
+            print(f"  bsr  b={b:3d}: {t*1e3:7.2f} ms  "
                   f"{nnz/t/1e9:6.2f} Gnnz/s (true)  "
                   f"{bsr.nnz_stored/t/1e9:6.2f} Gnnz/s (stored)  "
                   f"fill={fill:.2f}  correct={ok}")
+
+            from libhpc_tpu.sparse.bell import BELL
+            bell = BELL.from_bsr(bsr)
+            y = np.asarray(spmv.bell_spmv(bell, x))[:A.shape[0]]
+            ok = np.allclose(y, y_ref, rtol=2e-3, atol=2e-3)
+
+            def step_bell(v, bell):
+                y = spmv.bell_spmv(bell, v)
+                return y[:bell.shape[1]] if y.shape[0] >= bell.shape[1] \
+                    else jnp.pad(y, (0, bell.shape[1] - y.shape[0]))
+            t = time_fn(step_bell, x, bell, iters=8, small=2)
+            print(f"  bell b={b:3d}: {t*1e3:7.2f} ms  "
+                  f"{nnz/t/1e9:6.2f} Gnnz/s (true)  "
+                  f"{bell.nnz_stored/t/1e9:6.2f} Gnnz/s (stored)  "
+                  f"fill={bell.fill_ratio():.2f}  K={bell.K}  correct={ok}")
 
 
 if __name__ == "__main__":

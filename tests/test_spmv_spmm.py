@@ -198,3 +198,32 @@ def test_hybrid_rcm_improves_coverage():
     h_plain = BandedHybrid.from_scipy(A_scrambled, max_diags=32, rcm=False)
     h_rcm = BandedHybrid.from_scipy(A_scrambled, max_diags=32, rcm=True)
     assert h_rcm.coverage > h_plain.coverage
+
+
+def test_bell_spmv_matches_scipy(rng):
+    import scipy.sparse as sps
+    from libhpc_tpu.sparse.bell import BELL
+    from libhpc_tpu.ops.spmv import bell_spmv
+
+    A = sps.random(300, 280, density=0.03, format="csr",
+                   random_state=np.random.RandomState(5)).astype(np.float32)
+    bell = BELL.from_scipy(A, block=8)
+    x = jnp.asarray(rng.random(bell.shape[1], dtype=np.float32))
+    y = np.asarray(bell_spmv(bell, x))
+    y_ref = A @ np.asarray(x)[:280]
+    np.testing.assert_allclose(y[:300], y_ref, rtol=2e-4, atol=2e-4)
+    # dense roundtrip
+    np.testing.assert_allclose(np.asarray(bell.todense())[:300, :280],
+                               A.toarray(), rtol=1e-5, atol=1e-5)
+
+
+def test_bell_matmul_operator(rng):
+    import scipy.sparse as sps
+    from libhpc_tpu.sparse.bell import BELL
+
+    A = sps.random(128, 128, density=0.05, format="csr",
+                   random_state=np.random.RandomState(7)).astype(np.float32)
+    bell = BELL.from_scipy(A, block=8)
+    x = jnp.asarray(rng.random(128, dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(bell @ x), A @ np.asarray(x),
+                               rtol=2e-4, atol=2e-4)
