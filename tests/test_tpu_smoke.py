@@ -110,3 +110,36 @@ def test_cg_tpu(rng):
     x, it, _ = solver.cg(lambda v: dia @ v, b, tol=1e-5, max_iter=1500)
     assert int(it) < 1500
     np.testing.assert_allclose(np.asarray(x), x_true, rtol=2e-2, atol=2e-2)
+
+
+def test_merge_sort_tpu(rng):
+    from libhpc_tpu.ops.sort_pallas import merge_sort_u32
+
+    # power-of-two chunks and segmented path
+    for n in (1 << 17, 200_000):
+        x = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+        got = np.asarray(merge_sort_u32(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_merge_argsort_tpu(rng):
+    from libhpc_tpu.ops.sort_pallas_kv import merge_argsort_u32
+
+    x = rng.integers(0, 2**32, size=200_000, dtype=np.uint32)
+    s, order = merge_argsort_u32(jnp.asarray(x))
+    s, order = np.asarray(s), np.asarray(order)
+    np.testing.assert_array_equal(s, np.sort(x))
+    np.testing.assert_array_equal(x[order], s)
+
+
+def test_bell_spmv_tpu(rng):
+    import scipy.sparse as sps
+    from libhpc_tpu.sparse.bell import BELL
+    from libhpc_tpu.ops.spmv import bell_spmv
+
+    A = sps.random(512, 512, density=0.02, format="csr",
+                   random_state=np.random.RandomState(9)).astype(np.float32)
+    bell = BELL.from_scipy(A, block=8)
+    x = rng.random(bell.shape[1]).astype(np.float32)
+    got = np.asarray(bell_spmv(bell, jnp.asarray(x)))[:512]
+    np.testing.assert_allclose(got, A @ x[:512], rtol=2e-4, atol=2e-4)
