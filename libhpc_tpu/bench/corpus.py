@@ -179,6 +179,12 @@ def bench_particle_writes():
     per = time_iterated(step, g, iters=8, iters_small=2)
     _emit("particle_writes_1M", per, gwrites_per_s=n / per / 1e9)
 
+    def step_dense(g):
+        return g.write_batch_dense(xs, ys, vals)
+
+    per = time_iterated(step_dense, g, iters=8, iters_small=2)
+    _emit("particle_writes_dense_1M", per, gwrites_per_s=n / per / 1e9)
+
 
 def bench_layout():
     """AOS vs SOA layout sweep — the reference's layout benchmarks
@@ -207,35 +213,6 @@ def bench_layout():
 
     per = time_iterated(step_soa, soa, iters=16, iters_small=2)
     _emit("layout_soa_4M", per, gb_per_s=2 * 3 * n * 4 / per / 1e9)
-
-
-ALL = {
-    "stream": bench_stream,
-    "layout": bench_layout,
-    "transpose": bench_transpose,
-    "matmul": bench_matmul,
-    "conv": bench_conv,
-    "blur": bench_blur,
-    "sort": bench_sort,
-    "scan_hist": bench_scan_hist,
-    "spmv": bench_spmv,
-    "particles": bench_particle_writes,
-    "access": bench_access,
-    "dtypes": bench_dtypes,
-}
-
-
-def main(argv):
-    names = argv or list(ALL)
-    for n in names:
-        try:
-            ALL[n]()
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"bench": n, "error": str(e)}), flush=True)
-
-
-if __name__ == "__main__":
-    main(sys.argv[1:])
 
 
 def bench_access():
@@ -271,3 +248,32 @@ def bench_dtypes():
         per = time_iterated(step, x, iters=32, iters_small=4)
         _emit(f"dtype_stream_{name}_16M", per,
               gb_per_s=2 * x.nbytes / per / 1e9)
+
+
+ALL = {
+    "stream": bench_stream,
+    "layout": bench_layout,
+    "transpose": bench_transpose,
+    "matmul": bench_matmul,
+    "conv": bench_conv,
+    "blur": bench_blur,
+    "sort": bench_sort,
+    "scan_hist": bench_scan_hist,
+    "spmv": bench_spmv,
+    "particles": bench_particle_writes,
+    "access": bench_access,
+    "dtypes": bench_dtypes,
+}
+
+
+def main(argv):
+    names = argv or list(ALL)
+    for n in names:
+        try:
+            ALL[n]()
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"bench": n, "error": str(e)}), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

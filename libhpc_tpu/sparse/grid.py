@@ -33,6 +33,7 @@ import jax.numpy as jnp
 @dataclasses.dataclass(frozen=True)
 class BlockGrid:
     tile_map: jax.Array   # (Gy, Gx) int32, -1 = unallocated
+    tile_pos: jax.Array   # (capacity,) int32: slot -> tile raster id (-1)
     tiles: jax.Array      # (capacity, B, B)
     n_active: jax.Array   # () int32
     block_size: int = dataclasses.field(metadata=dict(static=True))
@@ -46,6 +47,7 @@ class BlockGrid:
         gy, gx = grid_blocks
         return BlockGrid(
             tile_map=jnp.full((gy, gx), -1, jnp.int32),
+            tile_pos=jnp.full((capacity,), -1, jnp.int32),
             tiles=jnp.zeros((capacity, block_size, block_size), dtype),
             n_active=jnp.zeros((), jnp.int32),
             block_size=block_size,
@@ -113,11 +115,18 @@ class BlockGrid:
         tm = self.tile_map.at[
             jnp.where(do_write, uy, 0), jnp.where(do_write, ux, 0)
         ].max(jnp.where(do_write, slot.astype(jnp.int32), -1))
+        # inverse map slot -> tile raster id (consumed by the dense-staging
+        # write path's pull-gather); dropped writes for non-allocations
+        tp = self.tile_pos.at[
+            jnp.where(do_write, slot.astype(jnp.int32),
+                      jnp.int32(self.capacity))
+        ].set((uy * gx + ux).astype(jnp.int32), mode="drop")
         n_new = jnp.minimum(
             self.n_active + jnp.sum(is_new.astype(jnp.int32)),
             jnp.int32(self.capacity),
         )
-        return dataclasses.replace(self, tile_map=tm, n_active=n_new)
+        return dataclasses.replace(self, tile_map=tm, tile_pos=tp,
+                                   n_active=n_new)
 
     # -- read / write ------------------------------------------------------
 
@@ -148,6 +157,39 @@ class BlockGrid:
             raise ValueError(mode)
         return dataclasses.replace(
             self, tiles=flat.reshape(self.tiles.shape))
+
+    @jax.jit
+    def write_batch_dense(self, xs, ys, vals) -> "BlockGrid":
+        """Accumulating batched write via a dense staging image — the fast
+        path for large random write bursts (the particle workload,
+        test_hpc_benchmark.cpp:866-870).
+
+        `write_batch` pays a per-element tile_map gather (~7 ns/elem on v5e)
+        *plus* the pool scatter (~7 ns). Here writes scatter straight into a
+        dense (Gy·B, Gx·B) zero image by raster coordinate (pure arithmetic
+        indexing, no gather), and the image is folded into the tile pool with
+        one per-tile row-gather through the slot->tile inverse map (B²-sized
+        rows amortize the gather: ~0.5 ms for 64k tiles). Writes landing in
+        untouched tiles are dropped, matching `write_batch`.
+
+        Costs O(shape) staging memory — intended for grids whose dense image
+        fits HBM comfortably; `write_batch` remains the frugal path. Add-mode
+        only (set-mode with duplicate destinations is order-defined and must
+        go through the scatter path).
+        """
+        xs, ys = xs.astype(jnp.int32), ys.astype(jnp.int32)
+        gy, gx = self.tile_map.shape
+        b = self.block_size
+        w = gx * b
+        dense = jnp.zeros((gy * b * w,), self.tiles.dtype)
+        dense = dense.at[ys * w + xs].add(vals, mode="drop")
+        # (Gy·B, Gx·B) -> (Gy·Gx, B, B) tile view, then pull active slots
+        dense4 = dense.reshape(gy, b, gx, b).transpose(0, 2, 1, 3)
+        dense4 = dense4.reshape(gy * gx, b, b)
+        delta = dense4[jnp.clip(self.tile_pos, 0, None)]
+        active = (jnp.arange(self.capacity) < self.n_active)[:, None, None]
+        return dataclasses.replace(
+            self, tiles=jnp.where(active, self.tiles + delta, self.tiles))
 
     @jax.jit
     def read_batch(self, xs, ys):

@@ -189,3 +189,43 @@ def test_nested_map_leaves():
     g = g.write_batch(xs, ys, jnp.asarray([2.0]))
     g = g.map_leaves(lambda t: t * 10.0)
     assert float(g.read_batch(xs, ys)[0]) == 20.0
+
+
+def test_write_batch_dense_matches_scatter(rng):
+    """Dense-staging write path == scatter write path == numpy oracle,
+    including duplicate destinations and untouched-tile drops."""
+    g0 = BlockGrid.create((8, 8), block_size=16, capacity=32)
+    n = 1 << 11
+    xs = rng.integers(0, 128, n).astype(np.int32)
+    ys = rng.integers(0, 128, n).astype(np.int32)
+    vals = rng.random(n).astype(np.float32)
+    # touch only the left half of the grid: right-half writes must drop
+    touched = xs < 64
+    g0 = g0.touch_batch(jnp.asarray(xs[touched]), jnp.asarray(ys[touched]))
+    ga = g0.write_batch(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(vals))
+    gb = g0.write_batch_dense(jnp.asarray(xs), jnp.asarray(ys),
+                              jnp.asarray(vals))
+    np.testing.assert_allclose(np.asarray(gb.todense()),
+                               np.asarray(ga.todense()), rtol=1e-5, atol=1e-5)
+    dense = np.zeros((128, 128), np.float32)
+    np.add.at(dense, (ys[touched], xs[touched]), vals[touched])
+    np.testing.assert_allclose(np.asarray(gb.todense()), dense, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_write_batch_dense_morton_and_accumulate(rng):
+    """Dense path through the morton-ordered pool; two bursts accumulate."""
+    g = BlockGrid.create((8, 8), block_size=16, capacity=64)
+    n = 1024
+    xs = rng.integers(0, 128, n).astype(np.int32)
+    ys = rng.integers(0, 128, n).astype(np.int32)
+    vals = rng.random(n).astype(np.float32)
+    g = g.touch_batch(jnp.asarray(xs), jnp.asarray(ys), order="morton")
+    g = g.write_batch_dense(jnp.asarray(xs), jnp.asarray(ys),
+                            jnp.asarray(vals))
+    g = g.write_batch_dense(jnp.asarray(xs), jnp.asarray(ys),
+                            jnp.asarray(vals))
+    dense = np.zeros((128, 128), np.float32)
+    np.add.at(dense, (ys, xs), 2.0 * vals)
+    np.testing.assert_allclose(np.asarray(g.todense()), dense, rtol=1e-4,
+                               atol=1e-4)
