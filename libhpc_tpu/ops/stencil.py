@@ -116,16 +116,26 @@ def _blur2d_kernel(a_hbm, o_ref, win_ref, sem, *, tile_m, radius, n_pad):
 
 
 @partial(jax.jit, static_argnames=("radius", "tile_m"))
-def blur2d_pallas(a, radius: int = 8, tile_m: int = 256):
+def blur2d_pallas(a, radius: int = 8, tile_m: int | None = None):
     """2D box sum via a Pallas kernel with explicit halo DMA.
 
     The input is zero-padded by `radius` on all sides (ghost cells); each
     grid step owns `tile_m` output rows and DMAs its window including the
     halo rows — the reference's ghost-cell reads a(y, x±r) with negative
     indices become in-window VMEM reads.
+
+    tile_m=None auto-sizes the row tile to the 16 MB scoped-VMEM budget:
+    the kernel holds ~5 live (tile_m-row, full-width) buffers (window, two
+    cumsums, re-padded X-pass, output — measured from Mosaic's scoped-vmem
+    accounting at 8192²), so wide rows need small tiles (8192² needs
+    tile_m <= ~56; 256 was a 25 MB VMEM OOM).
     """
     m, n = a.shape
     r = radius
+    if tile_m is None:
+        n_pad_est = cdiv(n + 2 * r, LANE) * LANE
+        budget_rows = (12 << 20) // (5 * 4 * n_pad_est)  # ~12 MB over 5 bufs
+        tile_m = max(8, min(256, (budget_rows - 2 * r) // 8 * 8))
     m_pad = cdiv(m, tile_m) * tile_m
     n_pad = cdiv(n + 2 * r, LANE) * LANE
     ap = jnp.zeros((m_pad + 2 * r, n_pad), a.dtype)
