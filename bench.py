@@ -1,13 +1,22 @@
 #!/usr/bin/env python
-"""Headline benchmark: CSR SpMV roofline fraction on one TPU chip.
+"""Headline benchmark: unstructured SpMV roofline fraction on one TPU chip.
 
-BASELINE.json configs[0]-class workload (5-point Poisson) through the
-best single-chip SpMV path. Reports the fraction of empirically-measured
-HBM speed-of-light achieved. Target (BASELINE.md): ≥0.80 →
-vs_baseline = fraction / 0.80.
+BASELINE.json configs[1]-class workload: a SuiteSparse cant-class FEM
+matrix (real .mtx via $LIBHPC_MATRIX_DIR when present, else the
+structurally-matched synthetic stand-in) through the SBELL Pallas path —
+the actual ">=80% of HBM roofline on SuiteSparse matrices" target, not the
+best-format-on-Poisson dodge (VERDICT r1 weak #2).
+
+Integrity rules (VERDICT r1 #2):
+  * every format's roofline fraction uses ITS OWN byte-traffic model
+    (harness.format_spmv_bytes), so fractions are physically <= 1;
+  * a reading the plausibility gate rejects is NEVER reported as a value —
+    retry() returns None and the path records an explicit error;
+  * the structured-Poisson DIA number is reported as a secondary field,
+    not the headline.
 
 Timing methodology: in-program iteration with optimization barriers +
-scalar-probe fetch + large/small-M delta (see libhpc_tpu/bench/harness.py) —
+scalar-probe fetch + large/small-M delta (libhpc_tpu/bench/harness.py) —
 per-dispatch latency on remote-attached TPUs is milliseconds and would
 otherwise swamp the kernel time.
 
@@ -16,6 +25,20 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 import json
 import sys
+
+
+def retry(measure, plausible, attempts=4):
+    """Re-run a measurement around relay stalls. Returns a plausible
+    reading, or None if every attempt failed or was implausible — an
+    implausible reading is never surfaced as a result."""
+    for _ in range(attempts):
+        try:
+            v = measure()
+        except Exception:  # noqa: BLE001 — relay stalls raise transport errors
+            continue
+        if plausible(v):
+            return v
+    return None
 
 
 def main():
@@ -29,80 +52,84 @@ def main():
 
     from libhpc_tpu.bench import matrices, harness
     from libhpc_tpu.sparse import CSR, ELL, DIA
+    from libhpc_tpu.sparse.sbell import SBELL
     from libhpc_tpu.ops import spmv
+    from libhpc_tpu.ops.spmv_pallas import sbell_spmv
 
-    # Poisson on a 1024×1024 grid → ~1.05M rows, ~5.2M nnz (HBM-streaming
-    # scale; the 10k-row configs[0] system is a strict subset case)
-    n_grid = 1024
-    A = matrices.poisson2d(n_grid)
-    nrows, ncols = A.shape
-    nnz = A.nnz
+    # ---- workloads -------------------------------------------------------
+    # headline: unstructured FEM (cant-class)
+    A_u = matrices.load_or_synthesize("cant")
+    sb = SBELL.from_scipy(A_u)
+    x_u = jnp.asarray(np.linspace(-1.0, 1.0, A_u.shape[1], dtype=np.float32))
+    y_u_ref = A_u @ np.asarray(x_u)
 
-    csr = CSR.from_scipy(A)
+    # secondary: structured Poisson 1024^2 (~1.05M rows, ~5.2M nnz)
+    A_s = matrices.poisson2d(1024)
+    csr = CSR.from_scipy(A_s)
     ell = ELL.from_csr(csr)
-    dia = DIA.from_scipy(A)
-    x0 = jnp.asarray(np.linspace(-1.0, 1.0, ncols, dtype=np.float32))
+    dia = DIA.from_scipy(A_s)
+    x_s = jnp.asarray(np.linspace(-1.0, 1.0, A_s.shape[1], dtype=np.float32))
+    y_s_ref = A_s @ np.asarray(x_s)
 
-    # correctness gate (vs scipy oracle) before timing
-    y_ref = A @ np.asarray(x0)
-    ok = bool(np.allclose(np.asarray(spmv.ell_spmv(ell, x0)), y_ref,
-                          rtol=1e-3, atol=1e-3))
-    ok = ok and bool(np.allclose(np.asarray(spmv.dia_spmv(dia, x0)), y_ref,
-                                 rtol=1e-3, atol=1e-3))
+    # ---- correctness gates before timing ---------------------------------
+    def close(y, ref):
+        return bool(np.allclose(np.asarray(y), ref, rtol=2e-3, atol=2e-3))
 
-    # the axon relay occasionally stalls 45+ s mid-measurement, corrupting
-    # the delta method in either direction — gate every number on a
-    # plausibility window and retry (PERF_NOTES.md 'relay stalls')
-    def retry(measure, plausible, attempts=4):
-        vals = []
-        for _ in range(attempts):
-            try:
-                v = measure()
-            except Exception:  # noqa: BLE001
-                continue
-            if plausible(v):
-                return v
-            vals.append(v)
-        return vals[-1] if vals else None
+    ok_u = close(sbell_spmv(sb, x_u), y_u_ref)
+    ok_s = (close(spmv.dia_spmv(dia, x_s), y_s_ref)
+            and close(spmv.ell_spmv(ell, x_s), y_s_ref))
 
     hbm = retry(harness.measure_hbm_bandwidth,
-                lambda b: 2e11 < b < 1.2e12) or 8.1e11
+                lambda b: 2e11 < b < 1.2e12) or 6.0e11
 
-    # iteration counts sized to each path's expected speed so the whole
-    # bench stays under a few minutes through the remote relay
+    # ---- measured paths, each with its own byte model --------------------
+    def run(fn, x0, nnz, nrows, ncols, nbytes, iters):
+        return retry(
+            lambda: harness.bench_spmv_square(
+                fn, x0, nnz, nrows, ncols, hbm, iters=iters,
+                bytes_moved=nbytes),
+            # per-format byte models are physically attainable-at-most-1;
+            # leave 10% slack for measurement noise, reject stalls/hoists
+            lambda r: 1e-4 < r["roofline_fraction"] < 1.10,
+        )
+
+    mu, nu = A_u.shape
     paths = {
-        "dia": (lambda x: spmv.dia_spmv(dia, x), 32),
-        "ell": (lambda x: spmv.ell_spmv(ell, x), 8),
-        "csr": (lambda x: spmv.csr_spmv(csr, x), 4),
+        "sbell_cant": (lambda x: sbell_spmv(sb, x), x_u, A_u.nnz, mu, nu,
+                       harness.format_spmv_bytes("sbell", sb, mu, nu), 64),
+        "dia_poisson": (lambda x: spmv.dia_spmv(dia, x), x_s, A_s.nnz,
+                        *A_s.shape,
+                        harness.format_spmv_bytes("dia", dia, *A_s.shape), 32),
+        "ell_poisson": (lambda x: spmv.ell_spmv(ell, x), x_s, A_s.nnz,
+                        *A_s.shape,
+                        harness.format_spmv_bytes("ell", ell, *A_s.shape), 8),
     }
     results = {}
-    for name, (fn, iters) in paths.items():
-        r = retry(
-            lambda fn=fn, iters=iters: harness.bench_spmv_square(
-                fn, x0, nnz, nrows, ncols, hbm, iters=iters),
-            # DIA legitimately exceeds 1.0 of the CSR-bytes roofline (no
-            # index traffic, measured ~1.5); anything past 2 is a stall
-            lambda r: 1e-4 < r["roofline_fraction"] < 2.0,
-        )
+    for name, args in paths.items():
+        r = run(*args)
         results[name] = r if r is not None else dict(
-            error="all attempts failed", roofline_fraction=0.0)
+            error="no plausible reading", roofline_fraction=0.0,
+            nnz_per_s=0.0)
 
-    best_name = max(results, key=lambda k: results[k]["roofline_fraction"])
-    best = results[best_name]
-
-    frac = best["roofline_fraction"] if ok else 0.0
+    head = results["sbell_cant"]
+    frac = head["roofline_fraction"] if ok_u else 0.0
+    csr_bytes = harness.spmv_bytes(A_u.nnz, mu, nu)
+    csr_equiv = (csr_bytes / head["seconds"] / hbm
+                 if "seconds" in head and ok_u else 0.0)
     print(json.dumps({
-        "metric": "csr_spmv_roofline_fraction",
+        "metric": "unstructured_spmv_roofline_fraction",
         "value": round(frac, 4),
-        "unit": "fraction_of_measured_hbm_speed_of_light",
+        "unit": "fraction_of_measured_hbm_speed_of_light_own_bytes",
         "vs_baseline": round(frac / 0.80, 4),
-        "correct": ok,
-        "best_format": best_name,
-        "gflops": round(best.get("gflops", 0.0), 2),
-        "gnnz_per_s": round(best.get("nnz_per_s", 0.0) / 1e9, 3),
+        "correct": {"sbell_cant": ok_u, "poisson": ok_s},
+        "gnnz_per_s": round(head.get("nnz_per_s", 0.0) / 1e9, 3),
+        "csr_byte_model_fraction": round(csr_equiv, 4),
         "hbm_gb_per_s": round(hbm / 1e9, 1),
-        "fractions": {k: round(v["roofline_fraction"], 4)
+        "fractions": {k: (round(v["roofline_fraction"], 4)
+                          if "error" not in v else v["error"])
                       for k, v in results.items()},
+        "gnnz": {k: round(v.get("nnz_per_s", 0.0) / 1e9, 3)
+                 for k, v in results.items()},
         "platform": jax.devices()[0].platform,
     }))
 
@@ -112,9 +139,9 @@ if __name__ == "__main__":
         sys.exit(main())
     except Exception as e:  # noqa: BLE001 — always emit a JSON line
         print(json.dumps({
-            "metric": "csr_spmv_roofline_fraction",
+            "metric": "unstructured_spmv_roofline_fraction",
             "value": 0.0,
-            "unit": "fraction_of_measured_hbm_speed_of_light",
+            "unit": "fraction_of_measured_hbm_speed_of_light_own_bytes",
             "vs_baseline": 0.0,
             "error": f"{type(e).__name__}: {e}"[:300],
         }))

@@ -93,6 +93,24 @@ def spmv_bytes(nnz: int, nrows: int, ncols: int, dtype_size: int = 4,
     )
 
 
+def format_spmv_bytes(fmt, obj, nrows: int, ncols: int) -> int:
+    """Per-format HBM traffic model (VERDICT r1 #2b): count the bytes the
+    format ACTUALLY streams (its stored values + index arrays + x + y) so
+    roofline fractions are physically <= 1 for every format."""
+    xy = (nrows + ncols) * 4
+    if fmt == "csr":
+        return spmv_bytes(obj.data.size, nrows, ncols)
+    if fmt == "ell":
+        return obj.vals.size * (4 + 4) + xy
+    if fmt == "dia":
+        return obj.data.size * 4 + obj.ndiags * 4 + xy
+    if fmt == "bell":
+        return obj.blocks.size * 4 + obj.indices.size * 4 + xy
+    if fmt == "sbell":
+        return obj.hbm_bytes
+    raise KeyError(fmt)
+
+
 @dataclass
 class BenchResult:
     metric: str
@@ -109,11 +127,16 @@ class BenchResult:
 
 
 def bench_spmv_square(matvec, x0, nnz: int, nrows: int, ncols: int,
-                      hbm_bytes_per_s: float, iters: int = 32) -> dict:
-    """Roofline stats for a square-matrix matvec (chained x -> A@x)."""
+                      hbm_bytes_per_s: float, iters: int = 32,
+                      bytes_moved: int | None = None) -> dict:
+    """Roofline stats for a square-matrix matvec (chained x -> A@x).
+
+    bytes_moved defaults to the CSR traffic model; pass the format's own
+    model (format_spmv_bytes) so roofline_fraction is physically <= 1."""
     per = time_iterated(matvec, x0, iters=iters,
                         iters_small=max(1, iters // 8))
-    bytes_moved = spmv_bytes(nnz, nrows, ncols)
+    if bytes_moved is None:
+        bytes_moved = spmv_bytes(nnz, nrows, ncols)
     return dict(
         seconds=per,
         gflops=2 * nnz / per / 1e9,

@@ -1,0 +1,117 @@
+"""Pallas striped-BELL SpMV — the unstructured fast path (VERDICT r1 #1).
+
+y = A @ x for an SBELL matrix (sparse/sbell.py), one fused kernel:
+
+  per grid step (8 tiles = 1024 block slots = up to 64K stored nnz):
+    - the (8*72, 128) value+meta plane streams HBM->VMEM through the
+      Pallas grid pipeline (auto double-buffered) — this is ~98% of the
+      kernel's HBM traffic and the roofline term;
+    - x stays VMEM-resident as (n_panes+1, 8, 128) block-transposed panes;
+      each tile's x-blocks are fetched with W_PANES 128-lane dynamic
+      shuffles (`take_along_axis(axis=1)`, 373 G gathers/s measured) +
+      selects — the layout co-design that replaces XLA's 0.35 G rows/s
+      HBM row-gather;
+    - products are 8 VPU multiply-adds broadcasting one gathered x-entry
+      row per block column index j;
+    - the per-block-row reduction is a one-hot MXU matmul
+      (P (8,128slots) x RO (128rows,128slots) contracted over slots,
+      Precision.HIGHEST so f32 survives the bf16 MXU passes) accumulated
+      into a VMEM-resident (n_stripes*8, 128) output at a dynamic
+      8-aligned sublane offset.
+
+Scatter-free and gather-cheap: the reference's scatter kernels
+(lib/gpu/radix_gpu/include/cuda_radix_scatter.cuh:104-180) become a
+matrix-unit one-hot contraction; its warp-aggregated histogram trick
+(cuda_local_histogram.cuh:43-92) is unnecessary because slots of one
+block-row land in the same matmul.
+
+VMEM budget: 2x288 KB value stream + 4(n_panes+1) KB x + 4*n_stripes KB y
++ one-hot scratch — fine to ~2M columns; larger matrices should use
+ops/spmv.py:bell_spmv (HBM row-gather path).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from libhpc_tpu.ops._pallas_utils import interpret_mode
+from libhpc_tpu.sparse.sbell import (B, LANE, PANE_COLS, SBELL, STRIPE_ROWS,
+                                     TPB, VROWS, W_PANES)
+
+
+def _kernel(pane_ref, sid_ref, v_ref, x_ref, o_ref):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    for t in range(TPB):
+        base = t * VROWS
+        meta = pltpu.bitcast(
+            v_ref[base + B * B:base + B * B + 1, :], jnp.int32)  # (1,128)
+        col = meta & 0x1FF
+        row = (meta >> 9) & 0x7F
+        p = pane_ref[g * TPB + t]
+        sid = sid_ref[g * TPB + t]
+
+        idx = jnp.broadcast_to(col & (LANE - 1), (B, LANE))
+        gx = jnp.take_along_axis(x_ref[p], idx, axis=1)
+        for w in range(1, W_PANES):
+            sel = jnp.broadcast_to((col >> 7) == w, (B, LANE))
+            gw = jnp.take_along_axis(x_ref[p + w], idx, axis=1)
+            gx = jnp.where(sel, gw, gx)
+
+        pacc = v_ref[base:base + B, :] * gx[0:1, :]
+        for j in range(1, B):
+            pacc = pacc + v_ref[base + B * j:base + B * (j + 1), :] \
+                * gx[j:j + 1, :]
+
+        ro = (jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+              == row).astype(jnp.float32)
+        yt = jax.lax.dot_general(
+            pacc, ro, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)                  # (8,128)
+        o_ref[pl.ds(sid * B, B), :] = o_ref[pl.ds(sid * B, B), :] + yt
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _sbell_call(args, n_tiles, n_stripes, n_panes):
+    pane, sid, vflat, x3 = args
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles // TPB,),
+        in_specs=[
+            pl.BlockSpec((TPB * VROWS, LANE), lambda g, *_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # x panes, resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((n_stripes * B, LANE), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret_mode(),
+    )(pane, sid, vflat, x3)
+
+
+def sbell_spmv(sb: SBELL, x: jax.Array) -> jax.Array:
+    """y = A @ x for SBELL A. x is f32 (ncols,); returns f32 (nrows,)."""
+    m, n = sb.shape
+    xpad = jnp.pad(x, (0, sb.n_panes * PANE_COLS - n))
+    # x3[p, j, l] = x[PANE_COLS*p + B*l + j]; +1 zero guard pane so the
+    # kernel's p+w reads stay in bounds on single-pane tail tiles.
+    x3 = xpad.reshape(sb.n_panes, LANE, B).transpose(0, 2, 1)
+    x3 = jnp.pad(x3, ((0, W_PANES - 1), (0, 0), (0, 0)))
+    out = _sbell_call((sb.pane, sb.sid, sb.vflat, x3),
+                      sb.n_tiles, sb.n_stripes, sb.n_panes)
+    # out[sid*8 + i, r] = y[STRIPE_ROWS*sid + 8*r + i]
+    y = out.reshape(sb.n_stripes, B, LANE).transpose(0, 2, 1).reshape(-1)
+    return y[:m]
