@@ -13,6 +13,7 @@
 #include <thread>
 #include <vector>
 
+#include "../include/hazard_stack.hpp"
 #include "../include/hier_lock.hpp"
 #include "../include/linklist.hpp"
 #include "../include/lockfree_stack.hpp"
@@ -20,6 +21,7 @@
 #include "../include/mpmc_queue.hpp"
 #include "../include/mtx.hpp"
 #include "../include/threadpool.hpp"
+#include "../include/uqueue.hpp"
 
 using namespace hpc_host;
 
@@ -311,6 +313,99 @@ static int selftest_linklist() {
   return 0;
 }
 
+// Hazard-pointer stack stress (same tally pattern; reclamation correctness
+// is what ASan/LSan checks here — UAF on a bad protect, leak on a bad scan).
+static int selftest_hazard_stack(int producers, int consumers, int n_items) {
+  HazardStack<int> st;
+  std::atomic<long long> pushed{0}, popped{0}, sum_in{0}, sum_out{0};
+  std::atomic<bool> done{false};
+  std::vector<std::thread> ts;
+  for (int p = 0; p < producers; ++p) {
+    ts.emplace_back([&, p] {
+      for (int i = p; i < n_items; i += producers) {
+        st.push(i);
+        pushed.fetch_add(1);
+        sum_in.fetch_add(i);
+      }
+    });
+  }
+  for (int c = 0; c < consumers; ++c) {
+    ts.emplace_back([&] {
+      while (true) {
+        if (auto v = st.pop()) {
+          popped.fetch_add(1);
+          sum_out.fetch_add(*v);
+        } else if (done.load() && popped.load() >= pushed.load()) {
+          return;
+        } else {
+          std::this_thread::yield();
+        }
+      }
+    });
+  }
+  for (int p = 0; p < producers; ++p) ts[p].join();
+  done.store(true);
+  for (int c = 0; c < consumers; ++c) ts[producers + c].join();
+  if (pushed.load() != n_items || popped.load() != n_items) return 60;
+  if (sum_in.load() != sum_out.load()) return 61;
+  if (!st.empty()) return 62;
+  return 0;
+}
+
+// Unbounded MPMC queue: tally stress + an unboundedness proof (1M pushes
+// with no consumer — the bounded ring would deadlock the producer here).
+static int selftest_uqueue(int producers, int consumers, int n_items) {
+  UnboundedQueue<int> q;
+  std::atomic<long long> pushed{0}, popped{0}, sum_in{0}, sum_out{0};
+  std::atomic<bool> done{false};
+  std::vector<std::thread> ts;
+  for (int p = 0; p < producers; ++p) {
+    ts.emplace_back([&, p] {
+      for (int i = p; i < n_items; i += producers) {
+        q.push(i);
+        pushed.fetch_add(1);
+        sum_in.fetch_add(i);
+      }
+    });
+  }
+  for (int c = 0; c < consumers; ++c) {
+    ts.emplace_back([&] {
+      while (true) {
+        if (auto v = q.try_pop()) {
+          popped.fetch_add(1);
+          sum_out.fetch_add(*v);
+        } else if (done.load() && popped.load() >= pushed.load()) {
+          return;
+        } else {
+          std::this_thread::yield();
+        }
+      }
+    });
+  }
+  for (int p = 0; p < producers; ++p) ts[p].join();
+  done.store(true);
+  for (int c = 0; c < consumers; ++c) ts[producers + c].join();
+  if (pushed.load() != n_items || popped.load() != n_items) return 70;
+  if (sum_in.load() != sum_out.load()) return 71;
+  if (!q.empty()) return 72;
+  return 0;
+}
+
+static int selftest_uqueue_unbounded_growth() {
+  UnboundedQueue<int> q;
+  const int n = 1 << 20;
+  for (int i = 0; i < n; ++i) q.push(i);  // no consumer: must not block
+  long long sum = 0;
+  int count = 0;
+  while (auto v = q.try_pop()) {
+    sum += *v;
+    ++count;
+  }
+  if (count != n) return 75;
+  if (sum != (long long)n * (n - 1) / 2) return 76;
+  return 0;
+}
+
 int hpc_native_selftest() {
   int rc;
   if ((rc = selftest_queue(1, 1, 200000))) return rc;
@@ -321,6 +416,13 @@ int hpc_native_selftest() {
   if ((rc = selftest_threadpool())) return rc;
   if ((rc = selftest_stack(1, 1, 100000))) return rc;
   if ((rc = selftest_stack(3, 2, 100000))) return rc;
+  if ((rc = selftest_hazard_stack(1, 1, 100000))) return rc;
+  if ((rc = selftest_hazard_stack(3, 2, 100000))) return rc;
+  if ((rc = selftest_hazard_stack(2, 4, 100000))) return rc;
+  if ((rc = selftest_uqueue(1, 1, 200000))) return rc;
+  if ((rc = selftest_uqueue(2, 4, 200000))) return rc;
+  if ((rc = selftest_uqueue(3, 2, 200000))) return rc;
+  if ((rc = selftest_uqueue_unbounded_growth())) return rc;
   if ((rc = selftest_linklist())) return rc;
   return 0;
 }
