@@ -14,6 +14,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from libhpc_tpu.containers import HaloArray
+from libhpc_tpu.ops.stencil import (box_sum_halo, poisson5_halo,
+                                    poisson7_halo)
 from libhpc_tpu.parallel import halo as _halo
 
 
@@ -29,15 +32,12 @@ def dist_blur2d_fn(mesh: Mesh, radius: int = 8, axis: str = "x",
     r = radius
 
     def y_stencil(padded):
-        # (k + 2r, n) -> (k, n): valid sliding-window sum along rows
-        c = jnp.cumsum(padded, axis=0)
-        k = padded.shape[0] - 2 * r
-        hi = c[2 * r:, :]
-        lo = jnp.concatenate(
-            [jnp.zeros((1, padded.shape[1]), padded.dtype), c[:-2 * r - 1, :]],
-            axis=0,
-        )
-        return (hi - lo)[:k, :]
+        # (k + 2r, n) -> (k, n): the SAME box_sum_halo kernel the
+        # single-chip path runs, fed exchange-filled ghost rows (one extra
+        # zero row satisfies the kernel's lo >= r+1 cumsum shift slot)
+        h = HaloArray.from_padded(jnp.pad(padded, ((1, 0), (0, 0))),
+                                  lo=(r + 1, 0), hi=(r, 0))
+        return box_sum_halo(h, r, axis=0)
 
     def body(x):
         bx = box_sum_1d(x, r, axis=1)          # local lane pass
@@ -55,16 +55,11 @@ def dist_poisson_fn(mesh: Mesh, axis: str = "x"):
     CG on the model problem."""
 
     def p5(padded):
-        # (k + 2, n) -> (k, n)
-        u = padded[1:-1, :]
-        up = jnp.pad(u, ((0, 0), (1, 1)))
-        return (
-            4.0 * u
-            - padded[:-2, :]
-            - padded[2:, :]
-            - up[:, :-2]
-            - up[:, 2:]
-        )
+        # (k + 2, n) -> (k, n): shared poisson5_halo kernel; row ghosts
+        # came from the exchange, column ghosts are zero Dirichlet
+        h = HaloArray.from_padded(jnp.pad(padded, ((0, 0), (1, 1))),
+                                  lo=(1, 1), hi=(1, 1))
+        return poisson5_halo(h)
 
     def body(x):
         return _halo.halo_stencil_overlapped(x, p5, 1, axis)
@@ -82,17 +77,11 @@ def dist_poisson3d_fn(mesh: Mesh, axis: str = "x"):
     treats each shard as (z_local + 2, y, x)."""
 
     def p7(padded):
-        u = padded[1:-1]
-        up = jnp.pad(u, ((0, 0), (1, 1), (1, 1)))
-        return (
-            6.0 * u
-            - padded[:-2]
-            - padded[2:]
-            - up[:, :-2, 1:-1]
-            - up[:, 2:, 1:-1]
-            - up[:, 1:-1, :-2]
-            - up[:, 1:-1, 2:]
-        )
+        # (k + 2, y, x) -> (k, y, x): shared poisson7_halo kernel
+        h = HaloArray.from_padded(
+            jnp.pad(padded, ((0, 0), (1, 1), (1, 1))),
+            lo=(1, 1, 1), hi=(1, 1, 1))
+        return poisson7_halo(h)
 
     def body(x):
         top, bot = _halo.exchange_halo_1d(
@@ -115,14 +104,7 @@ def dist_poisson_2dmesh_fn(mesh: Mesh, axes=("py", "px")):
 
     def body(x):
         p = _halo.pad_with_halo_2d(x, 1, axes)
-        u = p[1:-1, 1:-1]
-        return (
-            4.0 * u
-            - p[:-2, 1:-1]
-            - p[2:, 1:-1]
-            - p[1:-1, :-2]
-            - p[1:-1, 2:]
-        )
+        return poisson5_halo(HaloArray.from_padded(p, (1, 1), (1, 1)))
 
     return jax.jit(
         jax.shard_map(body, mesh=mesh, in_specs=P(*axes), out_specs=P(*axes))

@@ -41,6 +41,18 @@ def pad_with_halo(x, halo: int, axis: str, wrap: bool = False):
     return jnp.concatenate([top, x, bot], axis=0)
 
 
+def exchange_to_halo(x, halo: int, axis: str, wrap: bool = False):
+    """Local shard -> HaloArray whose leading-dim ghost cells were refreshed
+    from mesh neighbors (ppermute). The distributed counterpart of
+    HaloArray.wrap: same container, different ghost-fill policy — stencil
+    kernels (ops/stencil.py:*_halo) cannot tell them apart (VERDICT r1 #6).
+    """
+    from libhpc_tpu.containers import HaloArray
+
+    lo = (halo,) + (0,) * (x.ndim - 1)
+    return HaloArray.from_padded(pad_with_halo(x, halo, axis, wrap), lo, lo)
+
+
 def halo_stencil_overlapped(x, stencil_fn, halo: int, axis: str,
                             wrap: bool = False):
     """Apply `stencil_fn(padded_block) -> block` with interior/boundary split
