@@ -10,26 +10,30 @@ window fails to lower — scripts/exp_lane_gather2/3.py).
 Layout
   * 8x8 blocks ("slots") are grouped into *stripes* of 128 block-rows
     (1024 scalar rows).
-  * Within a stripe, slots are sorted by block-column and cut greedily
-    into *tiles* of <=128 slots whose block-columns span <= W_PANES
-    consecutive 128-block-column x *panes* — so each tile's x-blocks are
-    fetched with W_PANES lane-gathers + selects from a VMEM-resident x.
-    Column-sorting makes tiles column-local with NO bandedness assumption:
-    scattered far blocks simply cluster into their own tiles.
+  * Within a stripe, slots are sorted by block-column and packed densely
+    into full *tiles* of 128 slots (only the stripe's last tile is padded
+    -> fill stays ~1.05-1.15 regardless of sparsity pattern; the 2-pane
+    window of the first design fragmented scattered FEM matrices to
+    fill 5). A tile's x-blocks are fetched with one lane-gather + select
+    per 128-block-column *pane* its sorted slots span — a dynamic
+    fori_loop, so banded tiles pay ~2 passes and rare wide tiles pay more.
   * A tile is one (72,128) f32 plane: rows 0..63 hold the block values
     transposed as V[8j+i, slot] = block_slot[i,j] (so the kernel's 8
-    multiply-adds broadcast one gathered x-entry row per j); row 64 is the
-    packed int32 meta bitcast to f32 (block-col-local | block-row-local<<9)
-    — index traffic rides inside the value stream at 1/64 ~ 1.6% overhead;
-    rows 65..71 pad the plane to the 8-sublane DMA tile.
-  * Per-tile scalars (x-pane id, stripe id) are scalar-prefetch arrays.
+    multiply-adds broadcast one gathered x-entry row per j); rows 64-65
+    are packed int32 meta bitcast to f32 — index traffic rides inside the
+    value stream at ~3% overhead; rows 66..71 pad to the 8-sublane tile.
+      row 64 (per slot lane):  col_local (24b) | row_sort_perm (7b) << 24
+      row 65 (per local row):  seg_start (8b) | seg_end (8b) << 8
+  * Per-tile scalars (x-pane base, pane span, stripe id) are
+    scalar-prefetch arrays.
 
-The per-block-row reduction is a one-hot MXU matmul (128 slots x 128
-local rows) into a VMEM-resident (n_stripes*8, 128) accumulator — scatter
-expressed as the one primitive the MXU is built for, replacing the
-reference's rank-stable scatter kernels (SURVEY.md §2.11d,
-lib/gpu/radix_gpu/include/cuda_radix_scatter.cuh:104-180) with a
-matrix-unit-native equivalent.
+The per-block-row reduction: products are lane-shuffled into row-sorted
+order (one take_along_axis with the construction-time permutation), then
+segment-reduced with an in-tile lane cumsum + per-row boundary gathers —
+the count->scan->scatter skeleton of the reference's radix pipeline
+(SURVEY.md §3.2, lib/gpu/radix_gpu/include/cuda_radix_scatter.cuh) with
+the scatter replaced by exclusive-prefix differences, accumulated into a
+VMEM-resident (n_stripes*8, 128) output at a dynamic 8-aligned offset.
 
 Capability parity: this is the TPU re-expression of the reference's
 hierarchical sparse-grid + dense-leaf storage (lib/sparse/include/
@@ -49,9 +53,8 @@ B = 8              # scalar block size (8x8 = one f32 sublane tile)
 LANE = 128         # slots per tile / local rows per stripe
 STRIPE_ROWS = B * LANE      # 1024 scalar rows per stripe
 PANE_COLS = B * LANE        # 1024 scalar cols per x pane
-VROWS = 72         # 64 value rows + 1 meta row + 7 alignment pad rows
+VROWS = 72         # 64 value rows + 2 meta rows + 6 alignment pad rows
 TPB = 8            # tiles per kernel grid step
-W_PANES = 2        # x panes a tile may span (gather+select passes)
 
 
 @jax.tree_util.register_dataclass
@@ -61,6 +64,7 @@ class SBELL:
 
     vflat: jax.Array   # (n_tiles*VROWS, 128) f32 value+meta planes
     pane: jax.Array    # (n_tiles,) i32 base x-pane per tile (prefetch)
+    npan: jax.Array    # (n_tiles,) i32 pane span per tile (prefetch)
     sid: jax.Array     # (n_tiles,) i32 stripe id per tile (prefetch)
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     n_stripes: int = dataclasses.field(metadata=dict(static=True))
@@ -86,7 +90,7 @@ class SBELL:
         return self.nnz_stored / max(nnz, 1)
 
     @staticmethod
-    def from_scipy(A, w_panes: int = W_PANES) -> "SBELL":
+    def from_scipy(A) -> "SBELL":
         """Host-side construction from any scipy.sparse matrix."""
         import scipy.sparse as sps
 
@@ -103,7 +107,7 @@ class SBELL:
         bcols = bsr.indices.astype(np.int64)
         indptr = bsr.indptr.astype(np.int64)
 
-        tiles_v, tiles_meta, tiles_pane, tiles_sid = [], [], [], []
+        tiles = []        # (v (64,128), meta0, meta1, pane, npan, sid)
         nbr_per_stripe = LANE
         for s in range(n_stripes):
             r0, r1 = s * nbr_per_stripe, (s + 1) * nbr_per_stripe
@@ -117,38 +121,50 @@ class SBELL:
             order = np.argsort(bc, kind="stable")
             bc, brl = bc[order], brl[order]
             blk = blocks[lo:hi][order]        # (nslots, 8, 8)
-            i = 0
             nsl = len(bc)
-            while i < nsl:
-                p = int(bc[i]) >> 7
-                j = int(np.searchsorted(bc, (p + w_panes) * LANE))
-                j = min(j, i + LANE, nsl)
+            for i in range(0, nsl, LANE):
+                j = min(i + LANE, nsl)
                 L = j - i
-                # V[8j+i, slot] = block[slot, i, j]
+                p = int(bc[i]) >> 7
+                npan = (int(bc[j - 1]) >> 7) - p + 1
+                # rows: real slots keep their local row; pads sort last
+                rows = np.full(LANE, LANE - 1, np.int64)
+                rows[:L] = brl[i:j]
+                cols_local = np.zeros(LANE, np.int64)
+                cols_local[:L] = bc[i:j] - (p << 7)
+                perm = np.argsort(rows, kind="stable").astype(np.int32)
+                rows_sorted = rows[perm]
+                # per local row r: slot range [s_r, e_r) in sorted order
+                seg_s = np.searchsorted(rows_sorted, np.arange(LANE),
+                                        side="left").astype(np.int32)
+                seg_e = np.searchsorted(rows_sorted, np.arange(LANE),
+                                        side="right").astype(np.int32)
+                # pad slots carry zero values: fold them into row 127's
+                # segment harmlessly (they contribute 0)
                 v = np.zeros((B * B, LANE), np.float32)
+                # V[8j+i, slot] = block[slot, i, j]
                 v[:, :L] = blk[i:j].transpose(2, 1, 0).reshape(B * B, L)
-                meta = np.zeros(LANE, np.int32)
-                meta[:L] = ((bc[i:j] - (p << 7)).astype(np.int32)
-                            | (brl[i:j].astype(np.int32) << 9))
-                tiles_v.append(v)
-                tiles_meta.append(meta)
-                tiles_pane.append(p)
-                tiles_sid.append(s)
-                i = j
+                meta0 = (cols_local.astype(np.int32)
+                         | (perm << 24)).astype(np.int32)
+                meta1 = (seg_s | (seg_e << 8)).astype(np.int32)
+                tiles.append((v, meta0, meta1, p, npan, s))
 
-        n_tiles = max(len(tiles_v), 1)
+        n_tiles = max(len(tiles), 1)
         n_tiles_pad = -(-n_tiles // TPB) * TPB
         vflat = np.zeros((n_tiles_pad, VROWS, LANE), np.float32)
         pane = np.zeros(n_tiles_pad, np.int32)
+        npan = np.ones(n_tiles_pad, np.int32)
         sid = np.zeros(n_tiles_pad, np.int32)
-        for t, (v, meta) in enumerate(zip(tiles_v, tiles_meta)):
+        for t, (v, meta0, meta1, p, np_t, s) in enumerate(tiles):
             vflat[t, :B * B] = v
-            vflat[t, B * B] = meta.view(np.float32)
-        pane[:len(tiles_pane)] = tiles_pane
-        sid[:len(tiles_sid)] = tiles_sid
+            vflat[t, B * B] = meta0.view(np.float32)
+            vflat[t, B * B + 1] = meta1.view(np.float32)
+            pane[t], npan[t], sid[t] = p, np_t, s
+        # zero pad tiles: all-zero meta => every segment empty => no-op
         return SBELL(
             vflat=jnp.asarray(vflat.reshape(n_tiles_pad * VROWS, LANE)),
             pane=jnp.asarray(pane),
+            npan=jnp.asarray(npan),
             sid=jnp.asarray(sid),
             shape=(m, n),
             n_stripes=n_stripes,
