@@ -4,41 +4,41 @@ The round-1 BELL path (sparse/bell.py) is bound by XLA's HBM row-gather
 (0.35 G rows/s -> ~17 Gnnz/s on cant-class FEM matrices, PERF_NOTES.md).
 SBELL restructures the same 8x8-block data so the x-lookup becomes the one
 gather primitive the VPU executes at full rate: a 128-lane-window dynamic
-shuffle (`take_along_axis(axis=1)`, measured 373 G gathers/s; every wider
-window fails to lower — scripts/exp_lane_gather2/3.py).
+shuffle (`take_along_axis(axis=1)`; every wider window fails to lower —
+scripts/exp_lane_gather2/3.py).
 
-Layout
-  * 8x8 blocks ("slots") are grouped into *stripes* of 128 block-rows
-    (1024 scalar rows).
-  * Within a stripe, slots are sorted by block-column and packed densely
-    into full *tiles* of 128 slots (only the stripe's last tile is padded
-    -> fill stays ~1.05-1.15 regardless of sparsity pattern; the 2-pane
-    window of the first design fragmented scattered FEM matrices to
-    fill 5). A tile's x-blocks are fetched with one lane-gather + select
-    per 128-block-column *pane* its sorted slots span — a dynamic
-    fori_loop, so banded tiles pay ~2 passes and rare wide tiles pay more.
-  * A tile is one (72,128) f32 plane: rows 0..63 hold the block values
-    transposed as V[8j+i, slot] = block_slot[i,j] (so the kernel's 8
-    multiply-adds broadcast one gathered x-entry row per j); rows 64-65
-    are packed int32 meta bitcast to f32 — index traffic rides inside the
-    value stream at ~3% overhead; rows 66..71 pad to the 8-sublane tile.
-      row 64 (per slot lane):  col_local (24b) | row_sort_perm (7b) << 24
-      row 65 (per local row):  seg_start (8b) | seg_end (8b) << 8
-  * Per-tile scalars (x-pane base, pane span, stripe id) are
-    scalar-prefetch arrays.
+Hybrid structure (v3 — measured trade-offs from v1/v2 on v5e):
+  * NEAR tiles (the column-local bulk of a FEM matrix): 128 block slots
+    whose block-columns span <= 2 consecutive 128-block-column x *panes*.
+    Static two-pass gather + one-hot MXU row reduction runs at ~92 ns/tile
+    (v1 measurement). Dynamic per-tile pane loops cost 65 ns/iteration in
+    Mosaic (v2 measurement) — so wide spans are NOT handled in-kernel.
+  * FAR blocks (scattered columns that would fragment tiles below
+    MIN_OCCUPANCY): collected into a small BELL matrix and applied through
+    the XLA row-gather path (ops/spmv.py:bell_spmv) — 0.35 G row-gathers/s
+    on ~20% of the blocks beats a fragmented kernel on 100% (v1: fill 5.0).
 
-The per-block-row reduction: products are lane-shuffled into row-sorted
-order (one take_along_axis with the construction-time permutation), then
-segment-reduced with an in-tile lane cumsum + per-row boundary gathers —
-the count->scan->scatter skeleton of the reference's radix pipeline
-(SURVEY.md §3.2, lib/gpu/radix_gpu/include/cuda_radix_scatter.cuh) with
-the scatter replaced by exclusive-prefix differences, accumulated into a
-VMEM-resident (n_stripes*8, 128) output at a dynamic 8-aligned offset.
+Near-tile layout
+  * stripes of 128 block-rows (1024 scalar rows); slots sorted by
+    block-column, greedily cut at 128 slots / 2-pane windows; cuts
+    thinner than MIN_OCCUPANCY dissolve into the far set.
+  * a tile is one (72,128) f32 plane: rows 0..63 hold block values
+    transposed as V[8j+i, slot] = block_slot[i,j]; row 64 is packed int32
+    meta bitcast to f32 (col_local 9b | local_row 7b << 9) — index
+    traffic rides inside the value stream at ~1.6% overhead; rows 65..71
+    pad to the 8-sublane DMA tile.
+  * per-tile scalars (x-pane base, stripe id) are scalar-prefetch arrays.
 
-Capability parity: this is the TPU re-expression of the reference's
-hierarchical sparse-grid + dense-leaf storage (lib/sparse/include/
-DenseBlock.hpp, PointerBlock.hpp) applied to matrix storage, per
-BASELINE.json configs[1] (SuiteSparse cant/pwtk, 8x8 blocks).
+The per-block-row reduction is a one-hot MXU matmul (128 slots x 128
+local rows, Precision.HIGHEST) accumulated into a VMEM-resident
+(n_stripes*8, 128) output — the reference's rank-stable scatter kernels
+(SURVEY.md §2.11d, lib/gpu/radix_gpu/include/cuda_radix_scatter.cuh:
+104-180) re-expressed as the one primitive the MXU is built for.
+
+Capability parity: the TPU re-expression of the reference's hierarchical
+sparse-grid + dense-leaf storage (lib/sparse/include/DenseBlock.hpp,
+PointerBlock.hpp) applied to matrix storage, per BASELINE.json configs[1]
+(SuiteSparse cant/pwtk, 8x8 blocks).
 """
 
 from __future__ import annotations
@@ -53,8 +53,10 @@ B = 8              # scalar block size (8x8 = one f32 sublane tile)
 LANE = 128         # slots per tile / local rows per stripe
 STRIPE_ROWS = B * LANE      # 1024 scalar rows per stripe
 PANE_COLS = B * LANE        # 1024 scalar cols per x pane
-VROWS = 72         # 64 value rows + 2 meta rows + 6 alignment pad rows
+VROWS = 72         # 64 value rows + 1 meta row + 7 alignment pad rows
 TPB = 8            # tiles per kernel grid step
+W_PANES = 2        # x panes a near tile may span (static gather passes)
+MIN_OCCUPANCY = 64  # tiles cut thinner than this dissolve into the far set
 
 
 @jax.tree_util.register_dataclass
@@ -64,8 +66,8 @@ class SBELL:
 
     vflat: jax.Array   # (n_tiles*VROWS, 128) f32 value+meta planes
     pane: jax.Array    # (n_tiles,) i32 base x-pane per tile (prefetch)
-    npan: jax.Array    # (n_tiles,) i32 pane span per tile (prefetch)
     sid: jax.Array     # (n_tiles,) i32 stripe id per tile (prefetch)
+    far: object        # BELL of scattered far blocks, or None
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     n_stripes: int = dataclasses.field(metadata=dict(static=True))
     n_panes: int = dataclasses.field(metadata=dict(static=True))
@@ -77,22 +79,39 @@ class SBELL:
     @property
     def nnz_stored(self) -> int:
         """Stored scalar slots (64 per block slot, incl. padding)."""
-        return self.n_tiles * LANE * B * B
+        far = self.far.nnz_stored if self.far is not None else 0
+        return self.n_tiles * LANE * B * B + far
 
     @property
     def hbm_bytes(self) -> int:
-        """Bytes streamed per SpMV: value+meta planes + x + y."""
+        """Bytes streamed per SpMV: near value+meta planes + far BELL
+        (blocks + indices + its own x/y pass) + x + y."""
+        far = 0
+        if self.far is not None:
+            far = (self.far.blocks.size * 4 + self.far.indices.size * 4
+                   + (self.shape[0] + self.shape[1]) * 4)
         return (self.vflat.size * 4
                 + self.n_panes * PANE_COLS * 4
-                + self.n_stripes * STRIPE_ROWS * 4)
+                + self.n_stripes * STRIPE_ROWS * 4
+                + far)
 
     def fill_ratio(self, nnz: int) -> float:
         return self.nnz_stored / max(nnz, 1)
+
+    @property
+    def far_fraction(self) -> float:
+        """Fraction of stored blocks routed to the far (row-gather) path."""
+        if self.far is None:
+            return 0.0
+        far_blocks = self.far.blocks.shape[0] * self.far.blocks.shape[1]
+        return far_blocks / max(far_blocks + self.n_tiles * LANE, 1)
 
     @staticmethod
     def from_scipy(A) -> "SBELL":
         """Host-side construction from any scipy.sparse matrix."""
         import scipy.sparse as sps
+
+        from libhpc_tpu.sparse.bell import BELL
 
         A = sps.csr_matrix(A)
         m, n = A.shape
@@ -107,7 +126,8 @@ class SBELL:
         bcols = bsr.indices.astype(np.int64)
         indptr = bsr.indptr.astype(np.int64)
 
-        tiles = []        # (v (64,128), meta0, meta1, pane, npan, sid)
+        tiles = []                 # (v, meta, pane, sid)
+        far_br, far_bc, far_blk = [], [], []
         nbr_per_stripe = LANE
         for s in range(n_stripes):
             r0, r1 = s * nbr_per_stripe, (s + 1) * nbr_per_stripe
@@ -121,52 +141,74 @@ class SBELL:
             order = np.argsort(bc, kind="stable")
             bc, brl = bc[order], brl[order]
             blk = blocks[lo:hi][order]        # (nslots, 8, 8)
+            i = 0
             nsl = len(bc)
-            for i in range(0, nsl, LANE):
-                j = min(i + LANE, nsl)
-                L = j - i
+            while i < nsl:
                 p = int(bc[i]) >> 7
-                npan = (int(bc[j - 1]) >> 7) - p + 1
-                # rows: real slots keep their local row; pads sort last
-                rows = np.full(LANE, LANE - 1, np.int64)
-                rows[:L] = brl[i:j]
-                cols_local = np.zeros(LANE, np.int64)
-                cols_local[:L] = bc[i:j] - (p << 7)
-                perm = np.argsort(rows, kind="stable").astype(np.int32)
-                rows_sorted = rows[perm]
-                # per local row r: slot range [s_r, e_r) in sorted order
-                seg_s = np.searchsorted(rows_sorted, np.arange(LANE),
-                                        side="left").astype(np.int32)
-                seg_e = np.searchsorted(rows_sorted, np.arange(LANE),
-                                        side="right").astype(np.int32)
-                # pad slots carry zero values: fold them into row 127's
-                # segment harmlessly (they contribute 0)
+                j = int(np.searchsorted(bc, (p + W_PANES) * LANE))
+                j = min(j, i + LANE, nsl)
+                L = j - i
+                if L < MIN_OCCUPANCY and j < nsl:
+                    # thin column cluster mid-stripe (a pane-window-forced
+                    # fragment): route to the far row-gather path. The
+                    # stripe's natural tail tile is kept regardless of size.
+                    far_br.append(s * nbr_per_stripe + brl[i:j])
+                    far_bc.append(bc[i:j])
+                    far_blk.append(blk[i:j])
+                    i = j
+                    continue
                 v = np.zeros((B * B, LANE), np.float32)
                 # V[8j+i, slot] = block[slot, i, j]
                 v[:, :L] = blk[i:j].transpose(2, 1, 0).reshape(B * B, L)
-                meta0 = (cols_local.astype(np.int32)
-                         | (perm << 24)).astype(np.int32)
-                meta1 = (seg_s | (seg_e << 8)).astype(np.int32)
-                tiles.append((v, meta0, meta1, p, npan, s))
+                meta = np.zeros(LANE, np.int32)
+                meta[:L] = ((bc[i:j] - (p << 7)).astype(np.int32)
+                            | (brl[i:j].astype(np.int32) << 9))
+                tiles.append((v, meta, p, s))
+                i = j
 
         n_tiles = max(len(tiles), 1)
         n_tiles_pad = -(-n_tiles // TPB) * TPB
         vflat = np.zeros((n_tiles_pad, VROWS, LANE), np.float32)
         pane = np.zeros(n_tiles_pad, np.int32)
-        npan = np.ones(n_tiles_pad, np.int32)
         sid = np.zeros(n_tiles_pad, np.int32)
-        for t, (v, meta0, meta1, p, np_t, s) in enumerate(tiles):
+        for t, (v, meta, p, s) in enumerate(tiles):
             vflat[t, :B * B] = v
-            vflat[t, B * B] = meta0.view(np.float32)
-            vflat[t, B * B + 1] = meta1.view(np.float32)
-            pane[t], npan[t], sid[t] = p, np_t, s
-        # zero pad tiles: all-zero meta => every segment empty => no-op
+            vflat[t, B * B] = meta.view(np.float32)
+            pane[t], sid[t] = p, s
+
+        far = None
+        if far_br:
+            far_br = np.concatenate(far_br)
+            far_bc = np.concatenate(far_bc)
+            far_blk = np.concatenate(far_blk)
+            far = _bell_from_blocks(far_br, far_bc, far_blk,
+                                    (mp, np_), BELL)
+
         return SBELL(
             vflat=jnp.asarray(vflat.reshape(n_tiles_pad * VROWS, LANE)),
             pane=jnp.asarray(pane),
-            npan=jnp.asarray(npan),
             sid=jnp.asarray(sid),
+            far=far,
             shape=(m, n),
             n_stripes=n_stripes,
             n_panes=n_panes,
         )
+
+
+def _bell_from_blocks(br, bc, blk, shape, BELL):
+    """Assemble a BELL matrix directly from (block_row, block_col, 8x8)
+    triplets (the far set) — no scipy round-trip."""
+    nbr = shape[0] // B
+    order = np.argsort(br, kind="stable")
+    br, bc, blk = br[order], bc[order], blk[order]
+    counts = np.bincount(br, minlength=nbr)
+    K = max(1, int(counts.max()))
+    out_blocks = np.zeros((nbr, K, B, B), np.float32)
+    out_idx = np.zeros((nbr, K), np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for r in np.nonzero(counts)[0]:
+        s, e = starts[r], starts[r + 1]
+        out_blocks[r, :e - s] = blk[s:e]
+        out_idx[r, :e - s] = bc[s:e]
+    return BELL(blocks=jnp.asarray(out_blocks),
+                indices=jnp.asarray(out_idx), shape=shape)

@@ -40,10 +40,22 @@ def test_sbell_rect():
 
 
 def test_sbell_block_structured(rng):
-    A = matrices.block_random(400, block=8, blocks_per_row=8, seed=3)
+    A = matrices.block_random(400, block=8, blocks_per_row=8, seed=3,
+                              far_fraction=0.0)
     sb = _check(A)
-    # block-structured input should stay near fill 1 (+ tile padding)
+    # purely banded: everything on the kernel path, near fill 1
+    assert sb.far is None
     assert sb.fill_ratio(A.nnz) < 1.7
+
+
+def test_sbell_far_split(rng):
+    """Scattered blocks route to the far path; banded bulk stays on the
+    kernel path; the sum is still exact."""
+    A = matrices.block_random(400, block=8, blocks_per_row=8, seed=3,
+                              far_fraction=0.3)
+    sb = _check(A)
+    assert sb.far is not None
+    assert 0.0 < sb.far_fraction < 0.5
 
 
 def test_sbell_poisson():
