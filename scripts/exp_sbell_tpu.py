@@ -24,14 +24,47 @@ from libhpc_tpu.sparse.sbell import SBELL  # noqa: E402
 from libhpc_tpu.ops.spmv_pallas import sbell_spmv  # noqa: E402
 
 
+def probe():
+    """Cost of the candidate far-path primitives at small nfar."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    hbm = harness.measure_hbm_bandwidth()
+    print(f"HBM: {hbm/1e9:.0f} GB/s")
+    n, nbr = 62464, 7808
+    for nfar in (1024, 4096, 16384):
+        bc = jnp.asarray(rng.integers(0, nbr, nfar, dtype=np.int32))
+        br = jnp.asarray(np.sort(rng.integers(0, nbr, nfar)).astype(np.int32))
+        blk = jnp.asarray(rng.standard_normal((nfar, 8, 8)).astype(np.float32))
+
+        def far_step(v):
+            xb = v.reshape(-1, 8)
+            g = xb[bc]                                    # flat row-gather
+            p = jnp.einsum("nij,nj->ni", blk, g,
+                           preferred_element_type=jnp.float32)
+            y = jnp.zeros((nbr, 8), jnp.float32).at[br].add(p)
+            return y.reshape(-1)
+
+        per = harness.time_iterated(far_step,
+                                    jnp.ones((n,), jnp.float32), iters=32,
+                                    iters_small=4)
+        print(f"nfar={nfar:6d}: flat gather+einsum+scatter {per*1e6:8.1f} us")
+
+
 def main():
     print("devices:", jax.devices())
     names = sys.argv[1:] or ["cant", "pwtk"]
+    if names[0] == "probe":
+        probe(); return
     hbm = harness.measure_hbm_bandwidth()
     print(f"HBM speed-of-light: {hbm/1e9:.0f} GB/s")
     for name in names:
         if name == "poisson":
             A = matrices.poisson2d(1024)
+        elif name.endswith("0"):   # cant0/pwtk0: pure banded, no far set
+            base = dict(cant0=(62_000 // 8, 8, 6), pwtk0=(218_000 // 8, 7, 40))[name]
+            A = matrices.block_random(base[0], blocks_per_row=base[1],
+                                      half_band=base[2], far_fraction=0.0,
+                                      seed=1)
         else:
             A = matrices.load_or_synthesize(name)
         m, n = A.shape
