@@ -65,46 +65,31 @@ DEFAULT_LOG2W = 17   # longer compiles; 2^16/2^17 beat 2^14/2^15 by ~35%)
 # ---------------------------------------------------------------------------
 
 
-def _exchange(v, idx, s: int, take_min):
-    """One compare-exchange at distance d=2^s on an (R, 128) int32 block.
+def _exchange_asc(w, upper, s: int):
+    """One ASCENDING compare-exchange at distance d=2^s on an (R, 128)
+    int32 block: lower partner keeps min, upper keeps max.
 
-    Partner of element i is i XOR d, reached by two circular rolls (the
-    wrap-around values are always discarded by the selects) — the TPU analog
-    of the reference's __shfl_xor-style warp exchanges."""
+    This is the only exchange in the sort: descending regions are handled
+    by XOR-conjugation (bitwise NOT is order-reversing on int32, so sorting
+    ~v ascending == sorting v descending), which removes every per-element
+    direction select the round-1 kernels paid per stage. Partner of element
+    i is i XOR d, reached by two circular rolls (the wrap-around values are
+    always discarded by the selects) — the TPU analog of the reference's
+    __shfl_xor-style warp exchanges."""
     d = 1 << s
     if d >= LANE:
         axis, shift = 0, d // LANE
     else:
         axis, shift = 1, d
-    size = v.shape[axis]
-    fwd = pltpu.roll(v, size - shift, axis)  # v[i + d] at position i
-    bwd = pltpu.roll(v, shift, axis)         # v[i - d] at position i
-    upper = (idx & d) != 0
-    p = jnp.where(upper, bwd, fwd)
-    return jnp.where(take_min, jnp.minimum(v, p), jnp.maximum(v, p))
+    size = w.shape[axis]
+    fwd = pltpu.roll(w, size - shift, axis)  # w[i + d] at position i
+    bwd = pltpu.roll(w, shift, axis)         # w[i - d] at position i
+    return jnp.where(upper, jnp.maximum(w, bwd), jnp.minimum(w, fwd))
 
 
 def _flat_iota(rows: int):
     return (jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0) * LANE
             + jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1))
-
-
-def _exchange_uniform(v, idx, s: int, desc):
-    """Compare-exchange at distance 2^s with direction uniform over the
-    block (merge cleanup). Roll-based: reshape-pairing was measured slower
-    on v5e (relayout copies cost more than rolls)."""
-    d = 1 << s
-    if d >= LANE:
-        axis, shift = 0, d // LANE
-    else:
-        axis, shift = 1, d
-    size = v.shape[axis]
-    fwd = pltpu.roll(v, size - shift, axis)
-    bwd = pltpu.roll(v, shift, axis)
-    upper = (idx & d) != 0
-    p = jnp.where(upper, bwd, fwd)
-    take_min = upper == desc  # asc: min at lower; desc: min at upper
-    return jnp.where(take_min, jnp.minimum(v, p), jnp.maximum(v, p))
 
 
 # ---------------------------------------------------------------------------
@@ -114,24 +99,39 @@ def _exchange_uniform(v, idx, s: int, desc):
 
 def _chunk_kernel(x_ref, o_ref, *, log2c: int, alternate: bool,
                   invert: bool, unflip: bool):
-    v = x_ref[:] ^ FLIP
-    rows = v.shape[0]
+    """Bitonic network, all stages ascending in a per-group XOR domain.
+
+    Group k2 conjugates the blocks whose index bit k2 is set (they must
+    sort descending) with bitwise NOT; a whole-chunk descending result
+    (alternate/invert) is one more NOT folded into the entry/exit masks.
+    Group-to-group transitions collapse to a single XOR with the mask
+    delta, so the per-stage cost is exactly roll+roll+min+max+select plus
+    one bit-test — no take_min vector logic anywhere."""
+    rows = x_ref.shape[0]
     idx = _flat_iota(rows)
     if alternate:
         # odd chunks sort descending (inverted when the whole segment is
         # destined to be a descending merge operand)
         desc = ((pl.program_id(0) & 1) == 1) != invert
+        dmask = jnp.where(desc, jnp.int32(-1), jnp.int32(0))
+    else:
+        dmask = jnp.int32(-1 if invert else 0)
+
+    def gmask(k2):
+        # -1 where the 2^k2-block sorts descending inside the network
+        if k2 >= log2c:  # top group: idx >> log2c == 0, pure ascending
+            return jnp.int32(0)
+        return -((idx >> k2) & 1)
+
+    upper = [((idx >> s) & 1) != 0 for s in range(log2c)]
+    w = x_ref[:] ^ (gmask(1) ^ (FLIP ^ dmask))
     for k2 in range(1, log2c + 1):
         for s in range(k2 - 1, -1, -1):
-            take_min = ((idx >> k2) & 1) == ((idx >> s) & 1)
-            if alternate:
-                take_min = take_min != desc
-            elif invert:
-                take_min = jnp.logical_not(take_min)
-            v = _exchange(v, idx, s, take_min)
-    if unflip:
-        v = v ^ FLIP
-    o_ref[:] = v
+            w = _exchange_asc(w, upper[s], s)
+        if k2 < log2c:
+            w = w ^ (gmask(k2) ^ gmask(k2 + 1))
+    out_mask = dmask ^ FLIP if unflip else dmask
+    o_ref[:] = w ^ out_mask
 
 
 def _chunk_sort(x_i32, pad_rows: int, total_rows: int, *, log2c: int,
@@ -234,6 +234,39 @@ def _extract(scr_ref, delta, wrows: int):
     return jnp.where(lane < LANE - rem, u, bot)[:wrows, :]
 
 
+def _merge_window(candA, candB, desc_i32, kA, kB, *, log2w: int,
+                  unflip: bool):
+    """Bitonic merge of one W-window in the NOT-conjugated domain.
+
+    candA/candB are the raw stored candidate windows (A runs stored
+    ascending, B descending). XOR-ing both with dmask (-1 for descending
+    output windows) makes the needed half always the MIN half and every
+    cleanup stage ascending-uniform — the per-stage direction selects and
+    the hi/lo halver pair of the round-1 kernel disappear."""
+    W = 1 << log2w
+    wrows = W // LANE
+    idx = _flat_iota(wrows)
+    desc = desc_i32 != 0
+    dmask = jnp.where(desc, jnp.int32(-1), jnp.int32(0))
+
+    # invalid-candidate masking: positions mirror for descending windows;
+    # in the conjugated domain the fill is always +inf
+    idx_eff = jnp.where(desc, W - 1 - idx, idx)
+    maskA = idx_eff >= W - kA
+    maskB = idx_eff < kB
+    candA = jnp.where(maskA, POS_INF, candA ^ dmask)
+    candB = jnp.where(maskB, POS_INF, candB ^ dmask)
+
+    # bitonic halver: concat(candA, candB) is bitonic (peak or valley);
+    # the W survivors are exactly the elementwise minima
+    w = jnp.minimum(candA, candB)
+
+    upper = [((idx >> s) & 1) != 0 for s in range(log2w)]
+    for s in range(log2w - 1, -1, -1):
+        w = _exchange_asc(w, upper[s], s)
+    return w ^ (dmask ^ FLIP if unflip else dmask)
+
+
 def _merge_kernel(rowA, dA, rowB, dB, kA, kB, dsc,
                   x_any, o_ref, scrA, scrB, semA, semB, *,
                   log2w: int, unflip: bool):
@@ -270,32 +303,10 @@ def _merge_kernel(rowA, dA, rowB, dB, kA, kB, dsc,
     cpA.wait()
     cpB.wait()
 
-    desc = dsc[w] != 0
-    fill = jnp.where(desc, NEG_INF, POS_INF)
-    idx = _flat_iota(wrows)
-
     candA = _extract(scrA.at[slot], dA[w], wrows)
     candB = _extract(scrB.at[slot], dB[w], wrows)
-    # asc: A tail invalid (+inf keeps asc), B front invalid (+inf keeps desc)
-    # desc: A front invalid (-inf keeps asc), B tail invalid (-inf keeps desc)
-    # boolean algebra, not where(): Mosaic cannot select on i1 vectors
-    asc = jnp.logical_not(desc)
-    maskA = (desc & (idx < kA[w])) | (asc & (idx >= W - kA[w]))
-    maskB = (desc & (idx >= W - kB[w])) | (asc & (idx < kB[w]))
-    candA = jnp.where(maskA, fill, candA)
-    candB = jnp.where(maskB, fill, candB)
-
-    # bitonic halver on concat(candA asc, candB desc): keep the needed half
-    lo = jnp.minimum(candA, candB)
-    hi = jnp.maximum(candA, candB)
-    v = jnp.where(desc, hi, lo)
-
-    # cleanup: sort the bitonic W-window (direction by output-run parity)
-    for s in range(log2w - 1, -1, -1):
-        v = _exchange_uniform(v, idx, s, desc)
-    if unflip:
-        v = v ^ FLIP
-    o_ref[:] = v
+    o_ref[:] = _merge_window(candA, candB, dsc[w], kA[w], kB[w],
+                             log2w=log2w, unflip=unflip)
 
 
 def _merge_level(buf, P: int, PAD: int, total_rows: int, log2r: int,
@@ -420,26 +431,10 @@ def _pair_merge_kernel(rowA, dA, rowB, dB, kA, kB, dsc,
     cpA.wait()
     cpB.wait()
 
-    desc = dsc[w] != 0
-    fill = jnp.where(desc, NEG_INF, POS_INF)
-    idx = _flat_iota(wrows)
-
     candA = _extract(scrA.at[slot], dA[w], wrows)
     candB = _extract(scrB.at[slot], dB[w], wrows)
-    asc = jnp.logical_not(desc)
-    maskA = (desc & (idx < kA[w])) | (asc & (idx >= W - kA[w]))
-    maskB = (desc & (idx >= W - kB[w])) | (asc & (idx < kB[w]))
-    candA = jnp.where(maskA, fill, candA)
-    candB = jnp.where(maskB, fill, candB)
-
-    lo = jnp.minimum(candA, candB)
-    hi = jnp.maximum(candA, candB)
-    v = jnp.where(desc, hi, lo)
-    for s in range(log2w - 1, -1, -1):
-        v = _exchange_uniform(v, idx, s, desc)
-    if unflip:
-        v = v ^ FLIP
-    o_ref[:] = v
+    o_ref[:] = _merge_window(candA, candB, dsc[w], kA[w], kB[w],
+                             log2w=log2w, unflip=unflip)
 
 
 def _merge_pair(bufA, bufB, LA: int, LB: int, PAD: int, log2w: int,

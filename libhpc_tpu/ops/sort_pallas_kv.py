@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from libhpc_tpu.ops._pallas_utils import cdiv, interpret_mode
 from libhpc_tpu.ops.sort_pallas import (
-    LANE, FLIP, POS_INF, NEG_INF, DEFAULT_LOG2W,
+    LANE, FLIP, POS_INF, DEFAULT_LOG2W,
     _flat_iota, _extract, _level_scalars, _pair_scalars, _decompose,
 )
 
@@ -37,24 +37,24 @@ from libhpc_tpu.ops.sort_pallas import (
 DEFAULT_LOG2C = 15
 
 
-def _exchange_kv(k, v, idx, s: int, take_min):
-    """Compare-exchange at distance 2^s moving (key, payload) together.
-    Strict comparisons: equal keys never swap, so position i and its
-    partner i^d always agree (a valid pairwise swap)."""
+def _exchange_kv_asc(k, v, upper, s: int):
+    """ASCENDING compare-exchange at distance 2^s moving (key, payload)
+    together; descending regions are NOT-conjugated by the callers (see
+    sort_pallas._exchange_asc). Strict comparisons: equal keys never swap,
+    so position i and its partner i^d always agree (a valid pairwise
+    swap)."""
     d = 1 << s
     if d >= LANE:
         axis, shift = 0, d // LANE
     else:
         axis, shift = 1, d
     size = k.shape[axis]
-    pk = jnp.where((idx & d) != 0,
-                   pltpu.roll(k, shift, axis),
+    pk = jnp.where(upper, pltpu.roll(k, shift, axis),
                    pltpu.roll(k, size - shift, axis))
-    pv = jnp.where((idx & d) != 0,
-                   pltpu.roll(v, shift, axis),
+    pv = jnp.where(upper, pltpu.roll(v, shift, axis),
                    pltpu.roll(v, size - shift, axis))
     # boolean algebra, not where(): select on i1 vectors kills Mosaic
-    swap = (take_min & (pk < k)) | (jnp.logical_not(take_min) & (pk > k))
+    swap = (upper & (pk > k)) | (jnp.logical_not(upper) & (pk < k))
     return jnp.where(swap, pk, k), jnp.where(swap, pv, v)
 
 
@@ -65,23 +65,30 @@ def _exchange_kv(k, v, idx, s: int, take_min):
 
 def _chunk_kernel_kv(xk_ref, xv_ref, ok_ref, ov_ref, *, log2c: int,
                      alternate: bool, invert: bool, unflip: bool):
-    k = xk_ref[:] ^ FLIP
-    v = xv_ref[:]
-    rows = k.shape[0]
+    """NOT-conjugated bitonic network (see sort_pallas._chunk_kernel):
+    keys ride the per-group XOR domain, payloads move un-conjugated."""
+    rows = xk_ref.shape[0]
     idx = _flat_iota(rows)
     if alternate:
         desc = ((pl.program_id(0) & 1) == 1) != invert
+        dmask = jnp.where(desc, jnp.int32(-1), jnp.int32(0))
+    else:
+        dmask = jnp.int32(-1 if invert else 0)
+
+    def gmask(k2):
+        if k2 >= log2c:
+            return jnp.int32(0)
+        return -((idx >> k2) & 1)
+
+    upper = [((idx >> s) & 1) != 0 for s in range(log2c)]
+    k = xk_ref[:] ^ (gmask(1) ^ (FLIP ^ dmask))
+    v = xv_ref[:]
     for k2 in range(1, log2c + 1):
         for s in range(k2 - 1, -1, -1):
-            take_min = ((idx >> k2) & 1) == ((idx >> s) & 1)
-            if alternate:
-                take_min = take_min != desc
-            elif invert:
-                take_min = jnp.logical_not(take_min)
-            k, v = _exchange_kv(k, v, idx, s, take_min)
-    if unflip:
-        k = k ^ FLIP
-    ok_ref[:] = k
+            k, v = _exchange_kv_asc(k, v, upper[s], s)
+        if k2 < log2c:
+            k = k ^ (gmask(k2) ^ gmask(k2 + 1))
+    ok_ref[:] = k ^ (dmask ^ FLIP if unflip else dmask)
     ov_ref[:] = v
 
 
@@ -154,30 +161,31 @@ def _merge_kernel_kv(rowA, dA, rowB, dB, kA, kB, dsc,
         c.wait()
 
     desc = dsc[w] != 0
-    fill = jnp.where(desc, NEG_INF, POS_INF)
+    dmask = jnp.where(desc, jnp.int32(-1), jnp.int32(0))
     idx = _flat_iota(wrows)
 
     ckA = _extract(sAk.at[slot], dA[w], wrows)
     cvA = _extract(sAv.at[slot], dA[w], wrows)
     ckB = _extract(sBk.at[slot], dB[w], wrows)
     cvB = _extract(sBv.at[slot], dB[w], wrows)
-    asc = jnp.logical_not(desc)
-    maskA = (desc & (idx < kA[w])) | (asc & (idx >= W - kA[w]))
-    maskB = (desc & (idx >= W - kB[w])) | (asc & (idx < kB[w]))
-    ckA = jnp.where(maskA, fill, ckA)
-    ckB = jnp.where(maskB, fill, ckB)
+    # NOT-conjugated domain: fill is always +inf, the needed half is
+    # always the min half, every cleanup stage is ascending-uniform
+    # (see sort_pallas._merge_window)
+    idx_eff = jnp.where(desc, W - 1 - idx, idx)
+    maskA = idx_eff >= W - kA[w]
+    maskB = idx_eff < kB[w]
+    ckA = jnp.where(maskA, POS_INF, ckA ^ dmask)
+    ckB = jnp.where(maskB, POS_INF, ckB ^ dmask)
 
-    # kv halver: keep the needed half, payloads follow the key decision
+    # kv halver: keep the min half, payloads follow the key decision
     # (ties keep A — any consistent choice is fine for pure selection)
-    takeB = (desc & (ckB > ckA)) | (asc & (ckB < ckA))
+    takeB = ckB < ckA
     k = jnp.where(takeB, ckB, ckA)
     v = jnp.where(takeB, cvB, cvA)
+    upper = [((idx >> s) & 1) != 0 for s in range(log2w)]
     for s in range(log2w - 1, -1, -1):
-        take_min = (((idx >> s) & 1) == 0) != desc
-        k, v = _exchange_kv(k, v, idx, s, take_min)
-    if unflip:
-        k = k ^ FLIP
-    ok_ref[:] = k
+        k, v = _exchange_kv_asc(k, v, upper[s], s)
+    ok_ref[:] = k ^ (dmask ^ FLIP if unflip else dmask)
     ov_ref[:] = v
 
 

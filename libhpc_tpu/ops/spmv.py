@@ -73,6 +73,22 @@ def bell_spmv(bell, x):
     return yb.reshape(-1)
 
 
+def far_spmv(far, x):
+    """y = A @ x for a FarBlocks block-COO set (sparse/sbell.py).
+
+    One x row-gather per stored block (the only per-block cost on TPU,
+    PERF_NOTES.md) + an (nf, b) scatter-add over the touched block-rows —
+    work proportional to n_far, never to the matrix row count."""
+    b = far.blocks.shape[-1]
+    nbr = far.shape[0] // b
+    xb = x.reshape(-1, b)
+    g = xb[far.cols]                              # (nf, b) row-gather
+    yb = jnp.einsum("nij,nj->ni", far.blocks, g,
+                    preferred_element_type=far.blocks.dtype)
+    out = jnp.zeros((nbr, b), yb.dtype).at[far.rows].add(yb)
+    return out.reshape(-1)
+
+
 @jax.jit
 def coo_spmv(coo, x):
     prod = coo.data * x[coo.col]

@@ -1,29 +1,34 @@
 """Pallas striped-BELL SpMV — the unstructured fast path (VERDICT r1 #1).
 
-y = A @ x for an SBELL matrix (sparse/sbell.py):
+y = A @ x for an SBELL matrix (sparse/sbell.py, v4 row-slice layout):
 
-  NEAR kernel (one fused pallas_call, ~92 ns per 128-block tile measured):
-    - the (8*72, 128) value+meta plane streams HBM->VMEM through the
-      Pallas grid pipeline (auto double-buffered) — the roofline term;
+  NEAR kernel (one fused pallas_call):
+    - the (8*64, 128) value planes + (8, 128) meta rows stream HBM->VMEM
+      through the Pallas grid pipeline (auto double-buffered) — the
+      roofline term;
     - x stays VMEM-resident as (n_panes+1, 8, 128) block-transposed panes;
       each tile's x-blocks are fetched with TWO static 128-lane dynamic
       shuffles (`take_along_axis(axis=1)`) + select — the layout co-design
       that replaces XLA's 0.35 G rows/s HBM row-gather;
     - products are 8 VPU multiply-adds broadcasting one gathered x-entry
       row per block column index j;
-    - the per-block-row reduction is a one-hot MXU matmul
-      (P (8,128slots) x RO (128rows,128slots) contracted over slots,
-      Precision.HIGHEST so f32 survives the bf16 MXU passes) accumulated
-      into a VMEM-resident (n_stripes*8, 128) output at a dynamic
-      8-aligned sublane offset.
+    - because tile slot i IS local block-row i (v4), the product block
+      pacc[i, slot] is already y[stripe*1024 + slot*8 + i]: the
+      accumulation is a plain dynamic-offset add into the VMEM-resident
+      (n_stripes*8, 128) output. The v1-v3 one-hot MXU row-scatter (the
+      TPU stand-in for the reference's rank-stable scatter kernels,
+      lib/gpu/radix_gpu/include/cuda_radix_scatter.cuh:104-180) is gone —
+      it made the kernel compute-bound at 134 ns/tile vs 55 ns of DMA.
 
-  FAR part: the scattered ~20% of blocks go through the XLA BELL
-  row-gather path (ops/spmv.py:bell_spmv) and are added to y — measured
+  FAR part: the scattered tail of blocks goes through the XLA block-COO
+  row-gather path (ops/spmv.py:far_spmv) and is added to y — measured
   faster than any in-kernel wide-window scheme (dynamic pane loops cost
-  65 ns/iteration; see sparse/sbell.py docstring).
+  65 ns/iteration; see sparse/sbell.py docstring), and proportional to
+  the far-block count.
 
-VMEM budget: 2x288 KB value stream + 4(n_panes+1) KB x + 4*n_stripes KB y
-— fine to ~2M columns; larger matrices should use bell_spmv wholesale.
+VMEM budget: 2x(TPB*65) KB value+meta stream + 4(n_panes+1) KB x +
+4*n_stripes KB y — fine to ~2M columns; larger matrices should use
+bell_spmv wholesale.
 """
 
 from __future__ import annotations
@@ -40,7 +45,7 @@ from libhpc_tpu.sparse.sbell import (B, LANE, PANE_COLS, SBELL, STRIPE_ROWS,
                                      TPB, VROWS, W_PANES)
 
 
-def _kernel(pane_ref, sid_ref, v_ref, x_ref, o_ref):
+def _kernel(pane_ref, sid_ref, v_ref, m_ref, x_ref, o_ref):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -49,10 +54,7 @@ def _kernel(pane_ref, sid_ref, v_ref, x_ref, o_ref):
 
     for t in range(TPB):
         base = t * VROWS
-        meta = pltpu.bitcast(
-            v_ref[base + B * B:base + B * B + 1, :], jnp.int32)  # (1,128)
-        col = meta & 0x1FF
-        row = (meta >> 9) & 0x7F
+        col = m_ref[t:t + 1, :]                                  # (1,128)
         p = pane_ref[g * TPB + t]
         sid = sid_ref[g * TPB + t]
 
@@ -64,30 +66,26 @@ def _kernel(pane_ref, sid_ref, v_ref, x_ref, o_ref):
             gw = jnp.take_along_axis(x_ref[p + w], idx, axis=1)
             gx = jnp.where(sel, gw, gx)
 
-        # products: P[i, slot] = sum_j V[8j+i, slot] * x_j[slot]
+        # products: pacc[i, slot] = sum_j V[8j+i, slot] * x_j[slot]
         pacc = v_ref[base:base + B, :] * gx[0:1, :]
         for j in range(1, B):
             pacc = pacc + v_ref[base + B * j:base + B * (j + 1), :] \
                 * gx[j:j + 1, :]
 
-        # one-hot row scatter on the MXU
-        ro = (jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
-              == row).astype(jnp.float32)
-        yt = jax.lax.dot_general(
-            pacc, ro, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)                  # (8,128)
-        o_ref[pl.ds(sid * B, B), :] = o_ref[pl.ds(sid * B, B), :] + yt
+        # slot i == local block-row i: pacc IS the output block
+        o_ref[pl.ds(sid * B, B), :] = o_ref[pl.ds(sid * B, B), :] + pacc
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _sbell_call(args, n_tiles, n_stripes, n_panes):
-    pane, sid, vflat, x3 = args
+    pane, sid, vflat, meta, x3 = args
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles // TPB,),
         in_specs=[
             pl.BlockSpec((TPB * VROWS, LANE), lambda g, *_: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TPB, LANE), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x panes, resident
         ],
@@ -98,12 +96,12 @@ def _sbell_call(args, n_tiles, n_stripes, n_panes):
         out_shape=jax.ShapeDtypeStruct((n_stripes * B, LANE), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret_mode(),
-    )(pane, sid, vflat, x3)
+    )(pane, sid, vflat, meta, x3)
 
 
 def sbell_spmv(sb: SBELL, x: jax.Array) -> jax.Array:
     """y = A @ x for SBELL A. x is f32 (ncols,); returns f32 (nrows,)."""
-    from libhpc_tpu.ops.spmv import bell_spmv
+    from libhpc_tpu.ops.spmv import far_spmv
 
     m, n = sb.shape
     xpad = jnp.pad(x, (0, sb.n_panes * PANE_COLS - n))
@@ -111,10 +109,10 @@ def sbell_spmv(sb: SBELL, x: jax.Array) -> jax.Array:
     # second gather pass of single-pane tail tiles in bounds.
     x3 = xpad.reshape(sb.n_panes, LANE, B).transpose(0, 2, 1)
     x3 = jnp.pad(x3, ((0, W_PANES - 1), (0, 0), (0, 0)))
-    out = _sbell_call((sb.pane, sb.sid, sb.vflat, x3),
+    out = _sbell_call((sb.pane, sb.sid, sb.vflat, sb.meta, x3),
                       sb.n_tiles, sb.n_stripes, sb.n_panes)
     # out[sid*8 + i, r] = y[STRIPE_ROWS*sid + 8*r + i]
     y = out.reshape(sb.n_stripes, B, LANE).transpose(0, 2, 1).reshape(-1)
     if sb.far is not None:
-        y = y + bell_spmv(sb.far, xpad)
+        y = y + far_spmv(sb.far, xpad)
     return y[:m]

@@ -26,8 +26,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from libhpc_tpu.ops.spmv_pallas import sbell_spmv
-from libhpc_tpu.sparse.bell import BELL
-from libhpc_tpu.sparse.sbell import SBELL, STRIPE_ROWS, VROWS
+from libhpc_tpu.sparse.sbell import FarBlocks, SBELL, STRIPE_ROWS, VROWS
 
 
 def _pad_sbell_tiles(sb: SBELL, n_tiles: int) -> SBELL:
@@ -38,23 +37,30 @@ def _pad_sbell_tiles(sb: SBELL, n_tiles: int) -> SBELL:
     return dataclasses.replace(
         sb,
         vflat=jnp.pad(sb.vflat, ((0, extra * VROWS), (0, 0))),
+        meta=jnp.pad(sb.meta, ((0, extra), (0, 0))),
         pane=jnp.pad(sb.pane, (0, extra)),
         sid=jnp.pad(sb.sid, (0, extra)),
     )
 
 
-def _pad_bell_k(b: BELL | None, K: int, shape) -> BELL:
-    """Uniform-K (possibly empty) far BELL so shards stack."""
-    nbr = shape[0] // 8
-    if b is None:
-        return BELL(blocks=jnp.zeros((nbr, K, 8, 8), jnp.float32),
-                    indices=jnp.zeros((nbr, K), jnp.int32), shape=shape)
-    extra = K - b.K
+def _pad_far(f: FarBlocks | None, nf: int, shape) -> FarBlocks:
+    """Uniform-length (possibly empty) far block-COO so shards stack.
+
+    Padding entries are zero blocks aimed at (row 0, col 0) — harmless
+    under the scatter-ADD in ops/spmv.py:far_spmv."""
+    have = 0 if f is None else f.n_far
+    extra = nf - have
+    if f is None:
+        return FarBlocks(rows=jnp.zeros((nf,), jnp.int32),
+                         cols=jnp.zeros((nf,), jnp.int32),
+                         blocks=jnp.zeros((nf, 8, 8), jnp.float32),
+                         shape=shape)
     if extra == 0:
-        return b
-    return BELL(blocks=jnp.pad(b.blocks, ((0, 0), (0, extra), (0, 0), (0, 0))),
-                indices=jnp.pad(b.indices, ((0, 0), (0, extra))),
-                shape=b.shape)
+        return f
+    return FarBlocks(rows=jnp.pad(f.rows, (0, extra)),
+                     cols=jnp.pad(f.cols, (0, extra)),
+                     blocks=jnp.pad(f.blocks, ((0, extra), (0, 0), (0, 0))),
+                     shape=shape)
 
 
 @jax.tree_util.register_dataclass
@@ -67,13 +73,16 @@ class DistSBELL:
     """
 
     diag_vflat: jax.Array
+    diag_meta: jax.Array
     diag_pane: jax.Array
     diag_sid: jax.Array
     offd_vflat: jax.Array
+    offd_meta: jax.Array
     offd_pane: jax.Array
     offd_sid: jax.Array
-    far_blocks: jax.Array    # (S, nbr_local, K, 8, 8) offd far set
-    far_indices: jax.Array
+    far_rows: jax.Array      # (S, nf) far block-COO (zero-block padded)
+    far_cols: jax.Array      # (S, nf)
+    far_blocks: jax.Array    # (S, nf, 8, 8)
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     stripes_local: int = dataclasses.field(metadata=dict(static=True))
@@ -118,29 +127,27 @@ class DistSBELL:
         has_far = any(sb.far is not None for sb in offds + diags)
         # fold any diag far set into the offd far set (both consume xg in
         # the worst case; diag far is rare — only thin clusters)
-        Kf = 1
+        nf_max = 1
         fars = []
         for s in range(n_shards):
             parts = []
             if diags[s].far is not None:
                 # diag far indices are local block-cols: shift to global.
-                # Padding slots (zero blocks at index 0) shift harmlessly.
                 d = diags[s].far
-                parts.append(BELL(
-                    blocks=d.blocks,
-                    indices=d.indices + (s * rows_local) // 8,
-                    shape=(rows_local, nc)))
+                parts.append(FarBlocks(
+                    rows=d.rows, cols=d.cols + (s * rows_local) // 8,
+                    blocks=d.blocks, shape=(rows_local, nc)))
                 diags[s] = dataclasses.replace(diags[s], far=None)
             if offds[s].far is not None:
                 o = offds[s].far
-                parts.append(BELL(blocks=o.blocks, indices=o.indices,
-                                  shape=(rows_local, nc)))
+                parts.append(FarBlocks(rows=o.rows, cols=o.cols,
+                                       blocks=o.blocks,
+                                       shape=(rows_local, nc)))
             if len(parts) == 2:
-                merged = BELL(
-                    blocks=jnp.concatenate(
-                        [parts[0].blocks, parts[1].blocks], axis=1),
-                    indices=jnp.concatenate(
-                        [parts[0].indices, parts[1].indices], axis=1),
+                merged = FarBlocks(
+                    rows=jnp.concatenate([p.rows for p in parts]),
+                    cols=jnp.concatenate([p.cols for p in parts]),
+                    blocks=jnp.concatenate([p.blocks for p in parts]),
                     shape=(rows_local, nc))
             elif parts:
                 merged = parts[0]
@@ -148,19 +155,22 @@ class DistSBELL:
                 merged = None
             fars.append(merged)
             if merged is not None:
-                Kf = max(Kf, merged.K)
-        fars = [_pad_bell_k(b, Kf, (rows_local, nc)) for b in fars]
+                nf_max = max(nf_max, merged.n_far)
+        fars = [_pad_far(f, nf_max, (rows_local, nc)) for f in fars]
 
         stack = lambda xs: jnp.stack(xs)
         return DistSBELL(
             diag_vflat=stack([sb.vflat for sb in diags]),
+            diag_meta=stack([sb.meta for sb in diags]),
             diag_pane=stack([sb.pane for sb in diags]),
             diag_sid=stack([sb.sid for sb in diags]),
             offd_vflat=stack([sb.vflat for sb in offds]),
+            offd_meta=stack([sb.meta for sb in offds]),
             offd_pane=stack([sb.pane for sb in offds]),
             offd_sid=stack([sb.sid for sb in offds]),
-            far_blocks=stack([b.blocks for b in fars]),
-            far_indices=stack([b.indices for b in fars]),
+            far_rows=stack([f.rows for f in fars]),
+            far_cols=stack([f.cols for f in fars]),
+            far_blocks=stack([f.blocks for f in fars]),
             shape=(nr, nc), n_shards=n_shards,
             stripes_local=stripes_local, has_far=has_far,
         )
@@ -170,11 +180,12 @@ class DistSBELL:
         put = lambda a: jax.device_put(a, sh)
         return dataclasses.replace(
             self,
-            diag_vflat=put(self.diag_vflat), diag_pane=put(self.diag_pane),
-            diag_sid=put(self.diag_sid), offd_vflat=put(self.offd_vflat),
+            diag_vflat=put(self.diag_vflat), diag_meta=put(self.diag_meta),
+            diag_pane=put(self.diag_pane), diag_sid=put(self.diag_sid),
+            offd_vflat=put(self.offd_vflat), offd_meta=put(self.offd_meta),
             offd_pane=put(self.offd_pane), offd_sid=put(self.offd_sid),
+            far_rows=put(self.far_rows), far_cols=put(self.far_cols),
             far_blocks=put(self.far_blocks),
-            far_indices=put(self.far_indices),
         )
 
 
@@ -187,32 +198,35 @@ def dist_sbell_spmv_fn(A: DistSBELL, mesh: Mesh, axis: str = "x"):
     nr, nc = A.shape
     sl = A.stripes_local
 
-    def body(dv, dp, ds, ov, op_, os_, fb, fi, x):
+    def body(dv, dm, dp, ds, ov, om, op_, os_, fr, fc, fb, x):
         x_l = x.reshape(-1)
         xg = lax.all_gather(x_l, axis, tiled=True)
-        sb_d = SBELL(vflat=dv[0], pane=dp[0], sid=ds[0], far=None,
+        sb_d = SBELL(vflat=dv[0], meta=dm[0], pane=dp[0], sid=ds[0],
+                     far=None,
                      shape=(rows_local, rows_local), n_stripes=sl,
                      n_panes=rows_local // 1024)
         y = sbell_spmv(sb_d, x_l)
-        sb_o = SBELL(vflat=ov[0], pane=op_[0], sid=os_[0], far=None,
+        sb_o = SBELL(vflat=ov[0], meta=om[0], pane=op_[0], sid=os_[0],
+                     far=None,
                      shape=(rows_local, nc), n_stripes=sl,
                      n_panes=nc // 1024)
         y = y + sbell_spmv(sb_o, xg)
         if A.has_far:
-            from libhpc_tpu.ops.spmv import bell_spmv
+            from libhpc_tpu.ops.spmv import far_spmv
 
-            far = BELL(blocks=fb[0], indices=fi[0], shape=(rows_local, nc))
-            y = y + bell_spmv(far, xg)
+            far = FarBlocks(rows=fr[0], cols=fc[0], blocks=fb[0],
+                            shape=(rows_local, nc))
+            y = y + far_spmv(far, xg)
         return y
 
     # check_vma=False: pallas_call out_shapes don't carry vma annotations
-    smapped = jax.shard_map(body, mesh=mesh, in_specs=(P(axis),) * 9,
+    smapped = jax.shard_map(body, mesh=mesh, in_specs=(P(axis),) * 12,
                             out_specs=P(axis), check_vma=False)
 
     @jax.jit
     def matvec(x):
-        return smapped(A.diag_vflat, A.diag_pane, A.diag_sid,
-                       A.offd_vflat, A.offd_pane, A.offd_sid,
-                       A.far_blocks, A.far_indices, x)
+        return smapped(A.diag_vflat, A.diag_meta, A.diag_pane, A.diag_sid,
+                       A.offd_vflat, A.offd_meta, A.offd_pane, A.offd_sid,
+                       A.far_rows, A.far_cols, A.far_blocks, x)
 
     return matvec

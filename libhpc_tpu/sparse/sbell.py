@@ -7,33 +7,27 @@ gather primitive the VPU executes at full rate: a 128-lane-window dynamic
 shuffle (`take_along_axis(axis=1)`; every wider window fails to lower —
 scripts/exp_lane_gather2/3.py).
 
-Hybrid structure (v3 — measured trade-offs from v1/v2 on v5e):
-  * NEAR tiles (the column-local bulk of a FEM matrix): 128 block slots
-    whose block-columns span <= 2 consecutive 128-block-column x *panes*.
-    Static two-pass gather + one-hot MXU row reduction runs at ~92 ns/tile
-    (v1 measurement). Dynamic per-tile pane loops cost 65 ns/iteration in
-    Mosaic (v2 measurement) — so wide spans are NOT handled in-kernel.
-  * FAR blocks (scattered columns that would fragment tiles below
-    MIN_OCCUPANCY): collected into a small BELL matrix and applied through
-    the XLA row-gather path (ops/spmv.py:bell_spmv) — 0.35 G row-gathers/s
-    on ~20% of the blocks beats a fragmented kernel on 100% (v1: fill 5.0).
-
-Near-tile layout
-  * stripes of 128 block-rows (1024 scalar rows); slots sorted by
-    block-column, greedily cut at 128 slots / 2-pane windows; cuts
-    thinner than MIN_OCCUPANCY dissolve into the far set.
-  * a tile is one (72,128) f32 plane: rows 0..63 hold block values
-    transposed as V[8j+i, slot] = block_slot[i,j]; row 64 is packed int32
-    meta bitcast to f32 (col_local 9b | local_row 7b << 9) — index
-    traffic rides inside the value stream at ~1.6% overhead; rows 65..71
-    pad to the 8-sublane DMA tile.
+Layout (v4 — row-slice tiles; v1-v3 history in PERF_NOTES.md):
+  * stripes of 128 block-rows (1024 scalar rows). Each block-row's
+    blocks are sorted by column; SLICE k of a stripe collects the k-th
+    block of every block-row — so tile slot i IS local block-row i.
+    The per-tile partial products then land directly in output layout
+    and the whole per-block-row reduction is 8 VPU multiply-adds: the
+    v1-v3 one-hot MXU row-scatter (92 ns/tile, the reason v3 was
+    compute-bound at 134 ns/tile vs 55 ns of DMA) disappears.
+  * a tile is one (64,128) f32 value plane V[8j+i, slot] =
+    block_slot[i,j] plus one (1,128) int32 meta row (col_local, 9 bits)
+    carried in a separate aligned stream — no 72-row DMA padding tax.
+  * tile slots gather x from a window of <=2 consecutive 128-block-col
+    x *panes* (static two-pass lane gather). Banded/FEM matrices keep
+    the window property per slice because 128 consecutive block-rows
+    span ~band-width consecutive block-cols.
+  * blocks outside their slice's pane window, slices thinner than
+    MIN_OCCUPANCY rows, and blocks past K_CAP slices: routed to the
+    FAR set — a flat block-COO applied through the XLA row-gather path
+    (ops/spmv.py:far_spmv), one gather + one scatter-add entry per far
+    block (~17 ns/block measured), proportional to n_far only.
   * per-tile scalars (x-pane base, stripe id) are scalar-prefetch arrays.
-
-The per-block-row reduction is a one-hot MXU matmul (128 slots x 128
-local rows, Precision.HIGHEST) accumulated into a VMEM-resident
-(n_stripes*8, 128) output — the reference's rank-stable scatter kernels
-(SURVEY.md §2.11d, lib/gpu/radix_gpu/include/cuda_radix_scatter.cuh:
-104-180) re-expressed as the one primitive the MXU is built for.
 
 Capability parity: the TPU re-expression of the reference's hierarchical
 sparse-grid + dense-leaf storage (lib/sparse/include/DenseBlock.hpp,
@@ -50,13 +44,49 @@ import jax.numpy as jnp
 import numpy as np
 
 B = 8              # scalar block size (8x8 = one f32 sublane tile)
-LANE = 128         # slots per tile / local rows per stripe
+LANE = 128         # slots per tile = local block-rows per stripe
 STRIPE_ROWS = B * LANE      # 1024 scalar rows per stripe
 PANE_COLS = B * LANE        # 1024 scalar cols per x pane
-VROWS = 72         # 64 value rows + 1 meta row + 7 alignment pad rows
+VROWS = B * B      # 64 value rows per tile (meta rides separately)
 TPB = 8            # tiles per kernel grid step
-W_PANES = 2        # x panes a near tile may span (static gather passes)
-MIN_OCCUPANCY = 64  # tiles cut thinner than this dissolve into the far set
+W_PANES = 3        # x panes a tile may span (static gather passes): a
+                   # slice of 128 consecutive block-rows spans ~128+band
+                   # block-cols, which can straddle two pane boundaries
+# a near tile costs one ~33 KB DMA (~55 ns at HBM speed); a far block
+# costs ~10-17 ns (gather+scatter, scripts/exp_sbell_tpu.py probe) — so
+# slices below ~4-8 blocks are cheaper on the far path
+MIN_OCCUPANCY = 8   # slices thinner than this dissolve into the far set
+K_CAP = 32          # max slices per stripe; deeper rows spill to far
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FarBlocks:
+    """Flat block-COO far set: one entry per stored 8x8 block.
+
+    SpMV work is exactly one x row-gather per block plus one scatter-add
+    of the per-entry partial rows (duplicate block-rows allowed) — both
+    proportional to n_far, never to the matrix row count."""
+
+    rows: jax.Array    # (nf,) i32 block-row ids (duplicates allowed)
+    cols: jax.Array    # (nf,) i32 block-col ids
+    blocks: jax.Array  # (nf, B, B) f32
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_far(self) -> int:
+        return self.rows.shape[0]
+
+    @property
+    def nnz_stored(self) -> int:
+        return self.n_far * B * B
+
+    @property
+    def hbm_bytes(self) -> int:
+        """Per-SpMV traffic: blocks + 2 index streams + gathered x rows +
+        read-modify-write of the touched y rows."""
+        return (self.blocks.size * 4 + self.rows.size * 8
+                + self.n_far * B * 4 + 3 * self.n_far * B * 4)
 
 
 @jax.tree_util.register_dataclass
@@ -64,10 +94,11 @@ MIN_OCCUPANCY = 64  # tiles cut thinner than this dissolve into the far set
 class SBELL:
     """Striped block-ELL matrix (see module docstring for the layout)."""
 
-    vflat: jax.Array   # (n_tiles*VROWS, 128) f32 value+meta planes
+    vflat: jax.Array   # (n_tiles*VROWS, 128) f32 value planes
+    meta: jax.Array    # (n_tiles, 128) i32 col_local per slot
     pane: jax.Array    # (n_tiles,) i32 base x-pane per tile (prefetch)
     sid: jax.Array     # (n_tiles,) i32 stripe id per tile (prefetch)
-    far: object        # BELL of scattered far blocks, or None
+    far: object        # FarBlocks of scattered far blocks, or None
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     n_stripes: int = dataclasses.field(metadata=dict(static=True))
     n_panes: int = dataclasses.field(metadata=dict(static=True))
@@ -84,13 +115,10 @@ class SBELL:
 
     @property
     def hbm_bytes(self) -> int:
-        """Bytes streamed per SpMV: near value+meta planes + far BELL
-        (blocks + indices + its own x/y pass) + x + y."""
-        far = 0
-        if self.far is not None:
-            far = (self.far.blocks.size * 4 + self.far.indices.size * 4
-                   + (self.shape[0] + self.shape[1]) * 4)
-        return (self.vflat.size * 4
+        """Bytes streamed per SpMV: near value+meta planes + the far
+        block-COO set's own traffic + x + y."""
+        far = self.far.hbm_bytes if self.far is not None else 0
+        return (self.vflat.size * 4 + self.meta.size * 4
                 + self.n_panes * PANE_COLS * 4
                 + self.n_stripes * STRIPE_ROWS * 4
                 + far)
@@ -103,15 +131,12 @@ class SBELL:
         """Fraction of stored blocks routed to the far (row-gather) path."""
         if self.far is None:
             return 0.0
-        far_blocks = self.far.blocks.shape[0] * self.far.blocks.shape[1]
-        return far_blocks / max(far_blocks + self.n_tiles * LANE, 1)
+        return self.far.n_far / max(self.far.n_far + self.n_tiles * LANE, 1)
 
     @staticmethod
     def from_scipy(A) -> "SBELL":
         """Host-side construction from any scipy.sparse matrix."""
         import scipy.sparse as sps
-
-        from libhpc_tpu.sparse.bell import BELL
 
         A = sps.csr_matrix(A)
         m, n = A.shape
@@ -126,66 +151,86 @@ class SBELL:
         bcols = bsr.indices.astype(np.int64)
         indptr = bsr.indptr.astype(np.int64)
 
-        tiles = []                 # (v, meta, pane, sid)
+        tiles = []                 # (v (64,128), meta (128,), pane, sid)
         far_br, far_bc, far_blk = [], [], []
-        nbr_per_stripe = LANE
+
+        def to_far(rows_g, cols, blks):
+            far_br.append(rows_g)
+            far_bc.append(cols)
+            far_blk.append(blks)
+
         for s in range(n_stripes):
-            r0, r1 = s * nbr_per_stripe, (s + 1) * nbr_per_stripe
+            r0, r1 = s * LANE, (s + 1) * LANE
             lo, hi = indptr[r0], indptr[r1]
             if lo == hi:
                 continue
             counts = np.diff(indptr[r0:r1 + 1])
-            brl = np.repeat(np.arange(nbr_per_stripe, dtype=np.int64),
-                            counts)
+            K = int(counts.max())
+            brl = np.repeat(np.arange(LANE, dtype=np.int64), counts)
             bc = bcols[lo:hi]
-            order = np.argsort(bc, kind="stable")
-            bc, brl = bc[order], brl[order]
-            blk = blocks[lo:hi][order]        # (nslots, 8, 8)
-            i = 0
-            nsl = len(bc)
-            while i < nsl:
-                p = int(bc[i]) >> 7
-                j = int(np.searchsorted(bc, (p + W_PANES) * LANE))
-                j = min(j, i + LANE, nsl)
-                L = j - i
-                if L < MIN_OCCUPANCY and j < nsl:
-                    # thin column cluster mid-stripe (a pane-window-forced
-                    # fragment): route to the far row-gather path. The
-                    # stripe's natural tail tile is kept regardless of size.
-                    far_br.append(s * nbr_per_stripe + brl[i:j])
-                    far_bc.append(bc[i:j])
-                    far_blk.append(blk[i:j])
-                    i = j
+            blk = blocks[lo:hi]
+            # per block-row, blocks sorted by column (CSR/BSR guarantee):
+            # slice k = the k-th block of every row that has one
+            kpos = np.concatenate(
+                [np.arange(c, dtype=np.int64) for c in counts]) \
+                if len(counts) else np.empty(0, np.int64)
+            for k in range(K):
+                sel = kpos == k
+                rows_k = brl[sel]
+                cols_k = bc[sel]
+                blks_k = blk[sel]
+                if k >= K_CAP or len(rows_k) < MIN_OCCUPANCY:
+                    to_far(s * LANE + rows_k, cols_k, blks_k)
+                    continue
+                # pane window: pick the base covering the most blocks
+                panes = cols_k >> 7
+                cands = (int(panes.min()), max(int(panes.max()) - W_PANES
+                                               + 1, 0))
+                best, best_in = cands[0], -1
+                for p in set(cands):
+                    nin = int(((panes >= p)
+                               & (panes < p + W_PANES)).sum())
+                    if nin > best_in:
+                        best, best_in = p, nin
+                inw = (panes >= best) & (panes < best + W_PANES)
+                if (~inw).any():
+                    to_far(s * LANE + rows_k[~inw], cols_k[~inw],
+                           blks_k[~inw])
+                    rows_k, cols_k, blks_k = (rows_k[inw], cols_k[inw],
+                                              blks_k[inw])
+                if len(rows_k) < MIN_OCCUPANCY:
+                    to_far(s * LANE + rows_k, cols_k, blks_k)
                     continue
                 v = np.zeros((B * B, LANE), np.float32)
-                # V[8j+i, slot] = block[slot, i, j]
-                v[:, :L] = blk[i:j].transpose(2, 1, 0).reshape(B * B, L)
+                # V[8j+i, slot=local block-row] = block[i, j]
+                v[:, rows_k] = blks_k.transpose(2, 1, 0).reshape(B * B, -1)
                 meta = np.zeros(LANE, np.int32)
-                meta[:L] = ((bc[i:j] - (p << 7)).astype(np.int32)
-                            | (brl[i:j].astype(np.int32) << 9))
-                tiles.append((v, meta, p, s))
-                i = j
+                meta[rows_k] = (cols_k - (best << 7)).astype(np.int32)
+                tiles.append((v, meta, best, s))
 
         n_tiles = max(len(tiles), 1)
         n_tiles_pad = -(-n_tiles // TPB) * TPB
         vflat = np.zeros((n_tiles_pad, VROWS, LANE), np.float32)
+        metas = np.zeros((n_tiles_pad, LANE), np.int32)
         pane = np.zeros(n_tiles_pad, np.int32)
         sid = np.zeros(n_tiles_pad, np.int32)
         for t, (v, meta, p, s) in enumerate(tiles):
-            vflat[t, :B * B] = v
-            vflat[t, B * B] = meta.view(np.float32)
+            vflat[t] = v
+            metas[t] = meta
             pane[t], sid[t] = p, s
 
         far = None
         if far_br:
-            far_br = np.concatenate(far_br)
-            far_bc = np.concatenate(far_bc)
-            far_blk = np.concatenate(far_blk)
-            far = _bell_from_blocks(far_br, far_bc, far_blk,
-                                    (mp, np_), BELL)
+            far = FarBlocks(
+                rows=jnp.asarray(np.concatenate(far_br).astype(np.int32)),
+                cols=jnp.asarray(np.concatenate(far_bc).astype(np.int32)),
+                blocks=jnp.asarray(np.concatenate(far_blk,
+                                                  dtype=np.float32)),
+                shape=(mp, np_))
 
         return SBELL(
             vflat=jnp.asarray(vflat.reshape(n_tiles_pad * VROWS, LANE)),
+            meta=jnp.asarray(metas),
             pane=jnp.asarray(pane),
             sid=jnp.asarray(sid),
             far=far,
@@ -193,22 +238,3 @@ class SBELL:
             n_stripes=n_stripes,
             n_panes=n_panes,
         )
-
-
-def _bell_from_blocks(br, bc, blk, shape, BELL):
-    """Assemble a BELL matrix directly from (block_row, block_col, 8x8)
-    triplets (the far set) — no scipy round-trip."""
-    nbr = shape[0] // B
-    order = np.argsort(br, kind="stable")
-    br, bc, blk = br[order], bc[order], blk[order]
-    counts = np.bincount(br, minlength=nbr)
-    K = max(1, int(counts.max()))
-    out_blocks = np.zeros((nbr, K, B, B), np.float32)
-    out_idx = np.zeros((nbr, K), np.int32)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    for r in np.nonzero(counts)[0]:
-        s, e = starts[r], starts[r + 1]
-        out_blocks[r, :e - s] = blk[s:e]
-        out_idx[r, :e - s] = bc[s:e]
-    return BELL(blocks=jnp.asarray(out_blocks),
-                indices=jnp.asarray(out_idx), shape=shape)

@@ -41,11 +41,15 @@ def test_dist_sbell_poisson(mesh):
     _run(A, mesh)
 
 
-def test_dist_sbell_banded_no_far(mesh):
-    """A purely banded matrix: every shard's diag/offd must stay on the
-    kernel path (no far set)."""
+def test_dist_sbell_banded_mostly_near(mesh):
+    """A purely banded matrix: the bulk of every shard's diag/offd stays
+    on the kernel path; only sub-MIN_OCCUPANCY slivers at shard/stripe
+    boundaries may route far (cheaper there — sparse/sbell.py)."""
     n = 9000
     A = sps.diags([np.ones(n - k) for k in (0, 1, 2, 3)], [0, -1, 2, 17],
                   shape=(n, n), format="csr", dtype=np.float32)
     dA = _run(A, mesh)
-    assert not dA.has_far
+    if dA.has_far:
+        far_blocks = int(dA.far_rows.shape[0] * dA.far_rows.shape[1])
+        near_slots = int(dA.diag_vflat.size + dA.offd_vflat.size) // (64 * 128)
+        assert far_blocks < 0.05 * near_slots + 8 * dA.n_shards
