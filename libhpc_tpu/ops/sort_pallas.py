@@ -75,8 +75,22 @@ def _exchange_asc(w, upper, s: int):
     direction select the round-1 kernels paid per stage. Partner of element
     i is i XOR d, reached by two circular rolls (the wrap-around values are
     always discarded by the selects) — the TPU analog of the reference's
-    __shfl_xor-style warp exchanges."""
+    __shfl_xor-style warp exchanges.
+
+    For vreg-aligned sublane distances (d >= 8 rows) the XOR pairing is a
+    static row-block pairing: reshape to (groups, 2, d_rows, 128) — a pure
+    reinterpretation of the row-major vreg order, no relayout — and keep
+    min in the low block, max in the high. 2 VPU ops/elem instead of 5
+    (roll+roll+min+max+select); these stages are 45/136 of the chunk
+    network and 10/18 of every merge-level cleanup."""
     d = 1 << s
+    if d >= 8 * LANE:
+        dr = d // LANE
+        R = w.shape[0]
+        wr = w.reshape(R // (2 * dr), 2, dr, LANE)
+        lohi = jnp.stack([jnp.minimum(wr[:, 0], wr[:, 1]),
+                          jnp.maximum(wr[:, 0], wr[:, 1])], axis=1)
+        return lohi.reshape(R, LANE)
     if d >= LANE:
         axis, shift = 0, d // LANE
     else:

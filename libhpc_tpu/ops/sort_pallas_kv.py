@@ -44,6 +44,19 @@ def _exchange_kv_asc(k, v, upper, s: int):
     so position i and its partner i^d always agree (a valid pairwise
     swap)."""
     d = 1 << s
+    if d >= 8 * LANE:
+        # vreg-aligned sublane distance: the XOR pairing is a static
+        # row-block pairing (see sort_pallas._exchange_asc) — no rolls
+        dr = d // LANE
+        R = k.shape[0]
+        kr = k.reshape(R // (2 * dr), 2, dr, LANE)
+        vr = v.reshape(R // (2 * dr), 2, dr, LANE)
+        sw = kr[:, 0] > kr[:, 1]  # strict: equal keys never swap
+        klohi = jnp.stack([jnp.where(sw, kr[:, 1], kr[:, 0]),
+                           jnp.where(sw, kr[:, 0], kr[:, 1])], axis=1)
+        vlohi = jnp.stack([jnp.where(sw, vr[:, 1], vr[:, 0]),
+                           jnp.where(sw, vr[:, 0], vr[:, 1])], axis=1)
+        return klohi.reshape(R, LANE), vlohi.reshape(R, LANE)
     if d >= LANE:
         axis, shift = 0, d // LANE
     else:

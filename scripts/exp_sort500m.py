@@ -13,7 +13,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from libhpc_tpu.utils.cache import enable_compilation_cache
 
@@ -36,9 +35,12 @@ def _sorted_and_checksum(out):
 def main():
     sizes = [int(a) for a in sys.argv[1:]] or [500_000_000]
     print("devices:", jax.devices())
-    rng = np.random.default_rng(0)
     for n in sizes:
-        x = jnp.asarray(rng.integers(0, 2**32, size=n, dtype=np.uint32))
+        # generate on-device: 2 GB host->device through the relay tunnel
+        # would dwarf the measurement (PERF_NOTES "axon relay quirks")
+        x = jax.jit(lambda k: jax.random.bits(k, (n,), jnp.uint32))(
+            jax.random.key(0))
+        x.block_until_ready()
         ck_in = int(jnp.sum(x.astype(jnp.uint64)))
 
         out = merge_sort_u32(x)      # compile + warm
