@@ -40,7 +40,9 @@ def _kernel(x_ref, o_ref, *, w: int):
     for _ in range(w):
         # dependent multiply-adds: not fusable, not hoistable
         acc = acc * 1.000001 + v
-    o_ref[:] = acc[:8, :] + acc[ROWS - 8:, :]
+    # fold EVERY row into the output — emitting only a slice lets Mosaic
+    # dead-code the chain for all unused rows (measured: flat t(W))
+    o_ref[:] = acc.reshape(ROWS // 8, 8, LANE).sum(axis=0)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -58,7 +60,7 @@ def _sweep_step(x, w):
     )(x)
 
 
-def _time_sweep(x, w, iters=8, small=2, reps=3):
+def _time_sweep(x, w, iters=96, small=12, reps=4):
     """Delta-method timing; the input rides through optimization_barrier
     each iteration so the streaming pallas_call cannot be hoisted."""
     import time
@@ -90,7 +92,9 @@ def _time_sweep(x, w, iters=8, small=2, reps=3):
     return max((tmin(iters) - tmin(small)) / (iters - small), 1e-9)
 
 
-def run(mb: int = 256):
+def run(mb: int = 512):
+    # sized so the W=0 delta reading is >=50 ms: relay jitter is ms-scale,
+    # so sub-ms sweeps (the first committed version) produce pure noise
     steps = mb * 1024 * 1024 // (ROWS * LANE * 4)
     x = jnp.ones((steps * ROWS, LANE), jnp.float32)
     nbytes = x.size * 4

@@ -71,5 +71,6 @@ def test_overlap_chip_kernel(rng):
         acc = blk.copy()
         for _ in range(2):
             acc = acc * 1.000001 + blk
-        np.testing.assert_allclose(out[s * 8:(s + 1) * 8],
-                                   acc[:8] + acc[-8:], rtol=1e-4)
+        expect = acc.reshape(ROWS // 8, 8, LANE).sum(axis=0)
+        np.testing.assert_allclose(out[s * 8:(s + 1) * 8], expect,
+                                   rtol=1e-3, atol=1e-3)
