@@ -27,18 +27,23 @@ import json
 import sys
 
 
-def retry(measure, plausible, attempts=4):
-    """Re-run a measurement around relay stalls. Returns a plausible
-    reading, or None if every attempt failed or was implausible — an
+def retry(measure, plausible, attempts=4, key=None):
+    """Re-run a measurement around relay stalls and return the BEST
+    plausible reading (timing noise through the relay is one-sided: stalls
+    and contention only ever make a kernel look slower, never faster than
+    the hardware — measured cross-process drift up to 2.4x on the SBELL
+    path). Returns None if every attempt failed or was implausible — an
     implausible reading is never surfaced as a result."""
+    best = None
     for _ in range(attempts):
         try:
             v = measure()
         except Exception:  # noqa: BLE001 — relay stalls raise transport errors
             continue
-        if plausible(v):
-            return v
-    return None
+        if plausible(v) and (best is None
+                             or (key is not None and key(v) > key(best))):
+            best = v
+    return best
 
 
 def main():
@@ -80,7 +85,7 @@ def main():
             and close(spmv.ell_spmv(ell, x_s), y_s_ref))
 
     hbm = retry(harness.measure_hbm_bandwidth,
-                lambda b: 2e11 < b < 1.2e12) or 6.0e11
+                lambda b: 2e11 < b < 1.2e12, key=lambda b: b) or 6.0e11
 
     # ---- measured paths, each with its own byte model --------------------
     def run(fn, x0, nnz, nrows, ncols, nbytes, iters):
@@ -91,6 +96,7 @@ def main():
             # per-format byte models are physically attainable-at-most-1;
             # leave 10% slack for measurement noise, reject stalls/hoists
             lambda r: 1e-4 < r["roofline_fraction"] < 1.10,
+            key=lambda r: r["roofline_fraction"],
         )
 
     mu, nu = A_u.shape
@@ -111,6 +117,39 @@ def main():
             error="no plausible reading", roofline_fraction=0.0,
             nnz_per_s=0.0)
 
+    # ---- flagship sort secondary (the reference's published headline) ----
+    # 500M u32 end-to-end; on-device data (2 GB host->device through the
+    # relay would swamp the run). Wall-clock best-of-3: ~20 ms dispatch
+    # overhead is <5% at this size.
+    sort_g_per_s, sort_ms, sort_ok = 0.0, None, False
+    try:
+        import time
+
+        from libhpc_tpu.ops.sort_pallas import merge_sort_u32
+
+        n_sort = 500_000_000
+        xs = jax.jit(lambda k: jax.random.bits(k, (n_sort,), jnp.uint32))(
+            jax.random.key(0))
+        xs.block_until_ready()
+        out = merge_sort_u32(xs)
+        out.block_until_ready()
+        si = jax.lax.bitcast_convert_type(out, jnp.int32) ^ jnp.int32(
+            -(2 ** 31))
+        sort_ok = bool(jnp.all(si[1:] >= si[:-1])) and bool(
+            jnp.sum(out.astype(jnp.uint64))
+            == jnp.sum(xs.astype(jnp.uint64)))
+        del out, si
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            merge_sort_u32(xs).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        if sort_ok and 0.1 < best < 10.0:
+            sort_ms = round(best * 1e3, 1)
+            sort_g_per_s = round(n_sort / best / 1e9, 3)
+    except Exception:  # noqa: BLE001 — secondary metric must never kill bench
+        pass
+
     head = results["sbell_cant"]
     frac = head["roofline_fraction"] if ok_u else 0.0
     csr_bytes = harness.spmv_bytes(A_u.nnz, mu, nu)
@@ -130,6 +169,9 @@ def main():
                       for k, v in results.items()},
         "gnnz": {k: round(v.get("nnz_per_s", 0.0) / 1e9, 3)
                  for k, v in results.items()},
+        "sort_500m_u32": {"ok": sort_ok, "ms": sort_ms,
+                          "g_elem_per_s": sort_g_per_s,
+                          "reference_3080ti": 1.39},
         "platform": jax.devices()[0].platform,
     }))
 

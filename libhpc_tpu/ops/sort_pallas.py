@@ -52,6 +52,10 @@ from jax.experimental.pallas import tpu as pltpu
 from libhpc_tpu.ops._pallas_utils import cdiv, interpret_mode
 
 LANE = 128
+# smallest row distance handled by static block pairing (vreg-aligned at
+# 8; env knob for the sub-vreg experiment, scripts/exp_subvreg.py)
+PAIR_MIN_ROWS = int(__import__("os").environ.get(
+    "LIBHPC_SORT_PAIR_MIN_ROWS", "8"))
 FLIP = np.int32(-(2**31))      # sign-bit flip: u32 order <-> i32 order
 POS_INF = np.int32(2**31 - 1)  # +inf in flipped domain (= u32 0xFFFFFFFF)
 NEG_INF = np.int32(-(2**31))
@@ -84,7 +88,7 @@ def _exchange_asc(w, upper, s: int):
     (roll+roll+min+max+select); these stages are 45/136 of the chunk
     network and 10/18 of every merge-level cleanup."""
     d = 1 << s
-    if d >= 8 * LANE:
+    if d >= PAIR_MIN_ROWS * LANE:
         dr = d // LANE
         R = w.shape[0]
         wr = w.reshape(R // (2 * dr), 2, dr, LANE)
