@@ -27,23 +27,36 @@ import json
 import sys
 
 
-def retry(measure, plausible, attempts=4, key=None):
+def retry(measure, plausible, attempts=4, key=None, key_cap=None):
     """Re-run a measurement around relay stalls and return the BEST
     plausible reading (timing noise through the relay is one-sided: stalls
     and contention only ever make a kernel look slower, never faster than
     the hardware — measured cross-process drift up to 2.4x on the SBELL
     path). Returns None if every attempt failed or was implausible — an
-    implausible reading is never surfaced as a result."""
-    best = None
+    implausible reading is never surfaced as a result.
+
+    key_cap bounds the *selection* (not acceptance): max-selection over
+    noisy readings systematically picks the upper tail, so readings with
+    key(v) above the physical ceiling (e.g. roofline fraction 1.0) are
+    kept as valid but never preferred over sub-ceiling readings."""
+    best_sub = None   # max among readings at/below the cap
+    best_over = None  # fallback if every reading exceeds the cap
     for _ in range(attempts):
         try:
             v = measure()
         except Exception:  # noqa: BLE001 — relay stalls raise transport errors
             continue
-        if plausible(v) and (best is None
-                             or (key is not None and key(v) > key(best))):
-            best = v
-    return best
+        if not plausible(v):
+            continue
+        if key is None:
+            return v
+        k = key(v)
+        if key_cap is not None and k > key_cap:
+            if best_over is None:
+                best_over = v
+        elif best_sub is None or k > key(best_sub):
+            best_sub = v
+    return best_sub if best_sub is not None else best_over
 
 
 def main():
@@ -85,7 +98,12 @@ def main():
             and close(spmv.ell_spmv(ell, x_s), y_s_ref))
 
     hbm = retry(harness.measure_hbm_bandwidth,
-                lambda b: 2e11 < b < 1.2e12, key=lambda b: b) or 6.0e11
+                lambda b: 2e11 < b < 1.2e12, key=lambda b: b)
+    # Never default silently (VERDICT r2 #9): if every probe failed, flag
+    # the substituted denominator in the output JSON.
+    hbm_defaulted = hbm is None
+    if hbm_defaulted:
+        hbm = 6.0e11
 
     # ---- measured paths, each with its own byte model --------------------
     def run(fn, x0, nnz, nrows, ncols, nbytes, iters):
@@ -94,9 +112,11 @@ def main():
                 fn, x0, nnz, nrows, ncols, hbm, iters=iters,
                 bytes_moved=nbytes),
             # per-format byte models are physically attainable-at-most-1;
-            # leave 10% slack for measurement noise, reject stalls/hoists
+            # leave 10% slack for measurement noise, reject stalls/hoists.
+            # key_cap=1.0: >1.0 readings stay accepted but are never
+            # preferred — max-selection must not surface the noise tail.
             lambda r: 1e-4 < r["roofline_fraction"] < 1.10,
-            key=lambda r: r["roofline_fraction"],
+            key=lambda r: r["roofline_fraction"], key_cap=1.0,
         )
 
     mu, nu = A_u.shape
@@ -135,9 +155,15 @@ def main():
         out.block_until_ready()
         si = jax.lax.bitcast_convert_type(out, jnp.int32) ^ jnp.int32(
             -(2 ** 31))
-        sort_ok = bool(jnp.all(si[1:] >= si[:-1])) and bool(
-            jnp.sum(out.astype(jnp.uint64))
-            == jnp.sum(xs.astype(jnp.uint64)))
+        # checksum in uint32 halves (no x64 on this rig): sum of low and
+        # high 16-bit halves separately — exact mod 2^32 per half, i.e.
+        # a multiset check far stronger than one truncated uint sum
+        def _csum(v):
+            return (jnp.sum(v & jnp.uint32(0xFFFF)),
+                    jnp.sum(v >> jnp.uint32(16)))
+
+        sort_ok = bool(jnp.all(si[1:] >= si[:-1])) and all(
+            bool(a == b) for a, b in zip(_csum(out), _csum(xs)))
         del out, si
         best = float("inf")
         for _ in range(3):
@@ -164,6 +190,7 @@ def main():
         "gnnz_per_s": round(head.get("nnz_per_s", 0.0) / 1e9, 3),
         "csr_byte_model_fraction": round(csr_equiv, 4),
         "hbm_gb_per_s": round(hbm / 1e9, 1),
+        "hbm_defaulted": hbm_defaulted,
         "fractions": {k: (round(v["roofline_fraction"], 4)
                           if "error" not in v else v["error"])
                       for k, v in results.items()},

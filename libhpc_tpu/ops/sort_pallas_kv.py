@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from libhpc_tpu.ops._pallas_utils import cdiv, interpret_mode
 from libhpc_tpu.ops.sort_pallas import (
-    LANE, FLIP, POS_INF, DEFAULT_LOG2W,
+    LANE, FLIP, PAIR_MIN_ROWS, POS_INF, DEFAULT_LOG2W,
     _flat_iota, _extract, _level_scalars, _pair_scalars, _decompose,
 )
 
@@ -44,7 +44,7 @@ def _exchange_kv_asc(k, v, upper, s: int):
     so position i and its partner i^d always agree (a valid pairwise
     swap)."""
     d = 1 << s
-    if d >= 8 * LANE:
+    if d >= PAIR_MIN_ROWS * LANE:  # same knob as the scalar sort
         # vreg-aligned sublane distance: the XOR pairing is a static
         # row-block pairing (see sort_pallas._exchange_asc) — no rolls
         dr = d // LANE

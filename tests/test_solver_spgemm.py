@@ -161,3 +161,49 @@ def test_bicgstab_nonsymmetric(rng):
                                  max_iter=3000)
     assert int(it) < 3000
     np.testing.assert_allclose(np.asarray(x), x_true, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("window", [64, 257, 1 << 12])
+def test_spgemm_windowed(window):
+    """Exact-expansion windowed SpGEMM vs scipy, incl. multi-window seams,
+    empty B rows (zero-length sources), and rectangular shapes."""
+    rs = np.random.RandomState(7)
+    A = sps.random(120, 90, density=0.08, format="csr", dtype=np.float32,
+                   random_state=rs)
+    B = sps.random(90, 105, density=0.07, format="csr", dtype=np.float32,
+                   random_state=rs)
+    # force some empty B rows
+    B = B.tolil()
+    B[3, :] = 0
+    B[40, :] = 0
+    B = B.tocsr()
+    B.eliminate_zeros()
+    C = spgemm.spgemm_windowed(CSR.from_scipy(A), CSR.from_scipy(B),
+                               window=window)
+    ref = (A @ B).toarray()
+    np.testing.assert_allclose(np.asarray(C.todense()), ref,
+                               rtol=1e-4, atol=1e-4)
+    # canonical: exact nnz, no duplicates
+    Csp = sps.csr_matrix((A @ B))
+    Csp.eliminate_zeros()
+    got = C.to_scipy().tocsr()
+    got.eliminate_zeros()
+    assert got.nnz == Csp.nnz
+
+
+def test_spgemm_windowed_poisson_identity():
+    A = poisson2d(16)
+    I = sps.identity(A.shape[0], format="csr", dtype=np.float32)
+    C = spgemm.spgemm_windowed(CSR.from_scipy(A), CSR.from_scipy(I),
+                               window=500)
+    np.testing.assert_allclose(np.asarray(C.todense()), A.toarray(),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_spgemm_windowed_empty_product():
+    """A whose columns all hit empty B rows -> zero matrix."""
+    A = sps.csr_matrix(np.array([[1.0, 0.0], [0.0, 2.0]], np.float32))
+    B = sps.csr_matrix(np.zeros((2, 3), np.float32))
+    C = spgemm.spgemm_windowed(CSR.from_scipy(A), CSR.from_scipy(B))
+    assert C.shape == (2, 3)
+    assert float(jnp.sum(jnp.abs(C.data))) == 0.0
