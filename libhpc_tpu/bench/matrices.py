@@ -78,6 +78,43 @@ def block_random(n_block_rows: int, block: int = 8,
     return A
 
 
+def block_random_fast(n_block_rows: int, block: int = 8,
+                      blocks_per_row: int = 8, seed: int = 0,
+                      half_band: int = 6, far_fraction: float = 0.02,
+                      dtype=np.float32) -> sps.csr_matrix:
+    """Vectorized block_random for 100M-nnz-class matrices (the per-row
+    python loop of block_random takes minutes past ~1M rows). Same
+    structural statistics: dense b×b blocks in a ±half_band block-column
+    band plus a far_fraction tail of random long-range blocks; duplicate
+    block columns are summed by the CSR conversion (slightly fewer
+    distinct blocks than blocks_per_row — same as the loop generator after
+    its np.unique)."""
+    rs = np.random.RandomState(seed)
+    nbr = n_block_rows
+    b = block
+    br = np.arange(nbr, dtype=np.int64)
+    # band candidates (diag + bpr-1 random in-band), clipped
+    offs = rs.randint(-half_band, half_band + 1,
+                      size=(nbr, blocks_per_row - 1))
+    cols = np.concatenate([br[:, None], br[:, None] + offs], axis=1)
+    np.clip(cols, 0, nbr - 1, out=cols)
+    # far tail: far_fraction of all blocks re-aimed uniformly
+    n_far = int(far_fraction * nbr * blocks_per_row)
+    if n_far:
+        fr = rs.randint(0, nbr, size=n_far)
+        fc = rs.randint(0, blocks_per_row, size=n_far)
+        cols[fr, fc] = rs.randint(0, nbr, size=n_far)
+    data = rs.standard_normal(
+        (nbr * blocks_per_row, b, b)).astype(dtype)
+    indptr = np.arange(nbr + 1, dtype=np.int64) * blocks_per_row
+    # BSR requires sorted columns per row for downstream .tocsr sanity
+    cols.sort(axis=1)
+    A = sps.bsr_matrix((data, cols.reshape(-1), indptr),
+                       shape=(nbr * b, nbr * b)).tocsr()
+    A.sum_duplicates()
+    return A
+
+
 def cant_like(dtype=np.float32) -> sps.csr_matrix:
     """Stand-in for SuiteSparse `cant` (FEM cantilever: 62k rows, ~4M nnz,
     ~64 nnz/row in 8-ish blocks, tightly banded mesh connectivity)."""

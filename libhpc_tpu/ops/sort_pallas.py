@@ -56,6 +56,10 @@ LANE = 128
 # 8; env knob for the sub-vreg experiment, scripts/exp_subvreg.py)
 PAIR_MIN_ROWS = int(__import__("os").environ.get(
     "LIBHPC_SORT_PAIR_MIN_ROWS", "8"))
+# lane-axis exchange via one static XOR lane-shuffle (take_along_axis)
+# instead of two rolls + select: 4 VPU ops vs 5 (exp_sort_lanexor.py)
+LANE_XOR = __import__("os").environ.get(
+    "LIBHPC_SORT_LANE_XOR", "0") == "1"
 FLIP = np.int32(-(2**31))      # sign-bit flip: u32 order <-> i32 order
 POS_INF = np.int32(2**31 - 1)  # +inf in flipped domain (= u32 0xFFFFFFFF)
 NEG_INF = np.int32(-(2**31))
@@ -99,6 +103,13 @@ def _exchange_asc(w, upper, s: int):
         axis, shift = 0, d // LANE
     else:
         axis, shift = 1, d
+    if axis == 1 and LANE_XOR:
+        # partner i^d reached directly by a static lane permutation —
+        # Mosaic lowers the constant-index take_along_axis as one
+        # dynamic-lane-shuffle op vs the two rolls below
+        lane = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        p = jnp.take_along_axis(w, lane ^ d, axis=1)
+        return jnp.where(upper, jnp.maximum(w, p), jnp.minimum(w, p))
     size = w.shape[axis]
     fwd = pltpu.roll(w, size - shift, axis)  # w[i + d] at position i
     bwd = pltpu.roll(w, shift, axis)         # w[i - d] at position i

@@ -89,6 +89,28 @@ def far_spmv(far, x):
     return out.reshape(-1)
 
 
+def far_grouped_out(farg, x):
+    """Far contribution in the SBELL near-kernel's output layout
+    (n_stripes*B, LANE) — scatter-free (sparse/sbell.py:FarGrouped).
+
+    gather x rows once per padded entry, batched block matvec, then a
+    one-hot batched matmul places each entry's 8-row product at its slot
+    lane; the caller adds the result to the kernel output elementwise."""
+    b = farg.blocks.shape[-1]
+    xb = x.reshape(-1, b)
+    g = xb[farg.cols]                             # (S, E, b) row-gather
+    # precision="highest": these batched matmuls ride the MXU, whose
+    # default bf16 pass loses ~4e-3 relative — enough to fail the 2e-3
+    # correctness gate (measured device-vs-host err 0.018 on cant)
+    prod = jnp.einsum("seij,sej->sei", farg.blocks, g,
+                      preferred_element_type=farg.blocks.dtype,
+                      precision="highest")
+    out = jnp.einsum("sei,ser->sir", prod, farg.onehot,
+                     preferred_element_type=prod.dtype,
+                     precision="highest")
+    return out.reshape(-1, farg.onehot.shape[-1])
+
+
 @jax.jit
 def coo_spmv(coo, x):
     prod = coo.data * x[coo.col]

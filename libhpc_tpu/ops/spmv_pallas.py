@@ -27,8 +27,13 @@ y = A @ x for an SBELL matrix (sparse/sbell.py, v4 row-slice layout):
   the far-block count.
 
 VMEM budget: 2x(TPB*65) KB value+meta stream + 4(n_panes+1) KB x +
-4*n_stripes KB y — fine to ~2M columns; larger matrices should use
-bell_spmv wholesale.
+4*n_stripes KB y. Matrices whose x-panes + output exceed the VMEM cap
+(LIBHPC_SBELL_VMEM_CAP, default 96 MB) are automatically row-chunked
+(VERDICT r2 #5): stripes are grouped so each group's pane window + output
+slice fit in VMEM, and one pallas_call runs per group (uniform shapes —
+single compilation) — this is what makes the 100M-nnz configs[4] scale
+run on one chip. The chunk plan needs host-side pane metadata, so the
+chunked path cannot be called under jit (the resident path can).
 """
 
 from __future__ import annotations
@@ -99,20 +104,151 @@ def _sbell_call(args, n_tiles, n_stripes, n_panes):
     )(pane, sid, vflat, meta, x3)
 
 
-def sbell_spmv(sb: SBELL, x: jax.Array) -> jax.Array:
-    """y = A @ x for SBELL A. x is f32 (ncols,); returns f32 (nrows,)."""
-    from libhpc_tpu.ops.spmv import far_spmv
+# resident x-panes + output VMEM budget (bytes); beyond it sbell_spmv
+# row-chunks automatically. 96 MB leaves headroom under the 128 MB v5e VMEM
+# for the double-buffered value/meta stream.
+VMEM_CAP = int(__import__("os").environ.get(
+    "LIBHPC_SBELL_VMEM_CAP", str(96 * 1024 * 1024)))
 
-    m, n = sb.shape
-    xpad = jnp.pad(x, (0, sb.n_panes * PANE_COLS - n))
-    # x3[p, j, l] = x[PANE_COLS*p + B*l + j]; +1 zero guard pane keeps the
+
+def _resident_bytes(n_stripes: int, n_panes: int) -> int:
+    """VMEM held by the resident x panes + output for one kernel call."""
+    return ((n_panes + W_PANES - 1) * B * LANE + n_stripes * B * LANE) * 4
+
+
+def _chunk_plan(sb: SBELL):
+    """Host-side stripe grouping so each group fits VMEM_CAP (cached).
+
+    Returns (stripes_per_chunk, win_panes, chunks) where chunks is a tuple
+    of (t0, t1, stripe_lo, pane_lo) per group — uniform t1-t0 and window
+    width so every group reuses ONE compiled kernel."""
+    import numpy as np
+
+    cached = getattr(sb, "_chunk_plan_cache", None)
+    if cached is not None:
+        return cached
+    try:
+        pane_np = np.asarray(sb.pane)
+        sid_np = np.asarray(sb.sid)
+    except Exception as e:  # pragma: no cover — traced under jit
+        raise ValueError(
+            "sbell_spmv: matrix exceeds the VMEM budget "
+            f"({VMEM_CAP} B) and the chunked fallback needs host-side "
+            "pane metadata — call it outside jit, or raise "
+            "LIBHPC_SBELL_VMEM_CAP") from e
+
+    # true tile count: real tiles are stripe-major (sid non-decreasing);
+    # the global TPB-padding tail restarts at sid 0 — the only decrease.
+    # (an all-stripe-0 matrix has no decrease; its padding tiles are inert
+    # in group 0 anyway: zero values, sid 0.)
+    dec = np.flatnonzero(np.diff(sid_np.astype(np.int64)) < 0)
+    n_true = int(dec[-1]) + 1 if dec.size else len(sid_np)
+    sid_np = sid_np[:n_true]
+    pane_np = pane_np[:n_true]
+
+    # greedy stripe grouping: uniform stripe count chosen so the WORST
+    # group's pane window + output slice fits the cap
+    spc = sb.n_stripes
+    while spc > 1:
+        n_grp = -(-sb.n_stripes // spc)
+        worst = 0
+        for g in range(n_grp):
+            s_lo, s_hi = g * spc, min((g + 1) * spc, sb.n_stripes)
+            sel = (sid_np >= s_lo) & (sid_np < s_hi)
+            if sel.any():
+                win = int(pane_np[sel].max() - pane_np[sel].min()) \
+                    + W_PANES
+            else:
+                win = W_PANES
+            worst = max(worst, _resident_bytes(spc, win))
+        if worst <= VMEM_CAP:
+            break
+        spc //= 2
+    n_grp = -(-sb.n_stripes // spc)
+    win_panes = W_PANES
+    bounds = []
+    for g in range(n_grp):
+        s_lo, s_hi = g * spc, min((g + 1) * spc, sb.n_stripes)
+        sel = (sid_np >= s_lo) & (sid_np < s_hi)
+        if sel.any():
+            t0, t1 = int(np.flatnonzero(sel)[0]), int(
+                np.flatnonzero(sel)[-1]) + 1
+            p_lo = int(pane_np[sel].min())
+            win_panes = max(win_panes,
+                            int(pane_np[sel].max()) - p_lo + W_PANES)
+        else:
+            t0 = t1 = 0
+            p_lo = 0
+        bounds.append((t0, t1, s_lo, p_lo))
+    tiles_max = max(((t1 - t0 + TPB - 1) // TPB) * TPB
+                    for t0, t1, _, _ in bounds) or TPB
+    plan = (spc, win_panes, tiles_max, tuple(bounds))
+    object.__setattr__(sb, "_chunk_plan_cache", plan)
+    return plan
+
+
+def _sbell_chunked(sb: SBELL, x3):
+    """Row-chunked near path: one uniform-shape pallas_call per stripe
+    group, each with a VMEM-resident x pane window and output slice."""
+    spc, win, tiles_max, bounds = _chunk_plan(sb)
+    # pad x3 so any window slice is in bounds
+    x3p = jnp.pad(x3, ((0, max(0, win - W_PANES + 1)), (0, 0), (0, 0)))
+    outs = []
+    for (t0, t1, s_lo, p_lo) in bounds:
+        nt = t1 - t0
+        ntp = tiles_max
+        # zero-padded tiles accumulate zeros into (local) stripe 0 — inert
+        vfl = jnp.pad(sb.vflat[t0 * VROWS:t1 * VROWS],
+                      ((0, (ntp - nt) * VROWS), (0, 0)))
+        met = jnp.pad(sb.meta[t0:t1], ((0, ntp - nt), (0, 0)))
+        pane = jnp.pad(sb.pane[t0:t1], (0, ntp - nt),
+                       constant_values=p_lo)
+        sid = jnp.pad(sb.sid[t0:t1], (0, ntp - nt), constant_values=s_lo)
+        s_hi = min(s_lo + spc, sb.n_stripes)
+        xwin = x3p[p_lo:p_lo + win]
+        out = _sbell_call(((pane - p_lo).astype(jnp.int32),
+                           (sid - s_lo).astype(jnp.int32),
+                           vfl, met, xwin), ntp, spc, win)
+        outs.append(out[: (s_hi - s_lo) * B])
+    out = jnp.concatenate(outs, axis=0)
+    return out
+
+
+def sbell_spmv_padded(sb: SBELL, xpad: jax.Array) -> jax.Array:
+    """y = A @ x in the PADDED domain: xpad is (n_panes*1024,) f32 and the
+    result has n_stripes*1024 entries (zero pad rows/cols are inert).
+
+    Chained consumers (CG loops, the roofline bench) that stay in the
+    padded domain skip the per-iteration pad + slice ops of sbell_spmv —
+    two of the ~8 XLA launches that cost ~13 us around a 23 us kernel
+    (scripts/exp_sbell_attrib.py, round 3)."""
+    from libhpc_tpu.ops.spmv import far_grouped_out, far_spmv
+    from libhpc_tpu.sparse.sbell import FarGrouped
+
+    # x3[p, j, l] = x[PANE_COLS*p + B*l + j]; zero guard panes keep the
     # second gather pass of single-pane tail tiles in bounds.
     x3 = xpad.reshape(sb.n_panes, LANE, B).transpose(0, 2, 1)
     x3 = jnp.pad(x3, ((0, W_PANES - 1), (0, 0), (0, 0)))
-    out = _sbell_call((sb.pane, sb.sid, sb.vflat, sb.meta, x3),
-                      sb.n_tiles, sb.n_stripes, sb.n_panes)
+    if _resident_bytes(sb.n_stripes, sb.n_panes) > VMEM_CAP:
+        out = _sbell_chunked(sb, x3)
+    else:
+        out = _sbell_call((sb.pane, sb.sid, sb.vflat, sb.meta, x3),
+                          sb.n_tiles, sb.n_stripes, sb.n_panes)
+    if isinstance(sb.far, FarGrouped):
+        # scatter-free far set: lands in the kernel output layout
+        out = out + far_grouped_out(sb.far, xpad)
     # out[sid*8 + i, r] = y[STRIPE_ROWS*sid + 8*r + i]
     y = out.reshape(sb.n_stripes, B, LANE).transpose(0, 2, 1).reshape(-1)
-    if sb.far is not None:
+    if sb.far is not None and not isinstance(sb.far, FarGrouped):
         y = y + far_spmv(sb.far, xpad)
-    return y[:m]
+    return y
+
+
+def sbell_spmv(sb: SBELL, x: jax.Array) -> jax.Array:
+    """y = A @ x for SBELL A. x is f32 (ncols,); returns f32 (nrows,).
+
+    Matrices past the VMEM budget are row-chunked transparently (module
+    docstring); the resident single-call path is unchanged below it."""
+    m, n = sb.shape
+    xpad = jnp.pad(x, (0, sb.n_panes * PANE_COLS - n))
+    return sbell_spmv_padded(sb, xpad)[:m]

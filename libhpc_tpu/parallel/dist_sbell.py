@@ -117,8 +117,9 @@ class DistSBELL:
             o = sps.hstack(
                 [blk[:, :r0], sps.csr_matrix((rows_local, rows_local)),
                  blk[:, r1:]]).tocsr()
-            diags.append(SBELL.from_scipy(d))
-            offds.append(SBELL.from_scipy(o))
+            # flat far form: the shard merger below re-stacks FarBlocks
+            diags.append(SBELL.from_scipy(d, group_far=False))
+            offds.append(SBELL.from_scipy(o, group_far=False))
 
         dt = max(sb.n_tiles for sb in diags)
         ot = max(sb.n_tiles for sb in offds)

@@ -48,7 +48,9 @@ LANE = 128         # slots per tile = local block-rows per stripe
 STRIPE_ROWS = B * LANE      # 1024 scalar rows per stripe
 PANE_COLS = B * LANE        # 1024 scalar cols per x pane
 VROWS = B * B      # 64 value rows per tile (meta rides separately)
-TPB = 8            # tiles per kernel grid step
+TPB = 16           # tiles per kernel grid step (v5e sweep: 16 beats 8 by
+                   # 30% — 45 vs 64 ns/tile — and 32 regresses;
+                   # scripts/exp_sbell_attrib.py TPB sweep, round 3)
 W_PANES = 3        # x panes a tile may span (static gather passes): a
                    # slice of 128 consecutive block-rows spans ~128+band
                    # block-cols, which can straddle two pane boundaries
@@ -89,6 +91,77 @@ class FarBlocks:
                 + self.n_far * B * 4 + 3 * self.n_far * B * 4)
 
 
+def _group_far(rows, cols, blocks, n_stripes: int, shape):
+    """Build the stripe-grouped scatter-free far set (FarGrouped), or fall
+    back to the flat FarBlocks when one stripe hoards so many far blocks
+    that uniform padding would blow memory up >4x (+ slack)."""
+    nf = rows.shape[0]
+    stripe = rows // LANE
+    slot = rows % LANE
+    counts = np.bincount(stripe, minlength=n_stripes)
+    E = int(counts.max()) if nf else 0
+    if E == 0 or n_stripes * E > 4 * nf + 4096:
+        return FarBlocks(rows=jnp.asarray(rows.astype(np.int32)),
+                         cols=jnp.asarray(cols.astype(np.int32)),
+                         blocks=jnp.asarray(blocks), shape=shape)
+    order = np.argsort(stripe, kind="stable")
+    pos = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    idx_in_stripe = np.arange(nf) - pos[stripe[order]]
+    cols_p = np.zeros((n_stripes, E), np.int32)
+    blocks_p = np.zeros((n_stripes, E, B, B), np.float32)
+    onehot = np.zeros((n_stripes, E, LANE), np.float32)
+    s_o = stripe[order]
+    e_o = idx_in_stripe
+    cols_p[s_o, e_o] = cols[order]
+    blocks_p[s_o, e_o] = blocks[order]
+    onehot[s_o, e_o, slot[order]] = 1.0
+    return FarGrouped(cols=jnp.asarray(cols_p),
+                      blocks=jnp.asarray(blocks_p),
+                      onehot=jnp.asarray(onehot), shape=shape,
+                      n_real=int(nf))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FarGrouped:
+    """Scatter-free far set: far blocks grouped by stripe, padded to a
+    uniform per-stripe count E, with a PRECOMPUTED one-hot slot matrix.
+
+    The round-2 far path (flat block-COO + XLA scatter-add) cost ~19 ns
+    per block — 21 us (a third of the cant SpMV) for a 2% far set, almost
+    all of it the scatter (scripts/exp_sbell_attrib.py). Grouping by
+    stripe turns the row-scatter into a batched matmul that lands in the
+    NEAR KERNEL's output layout directly:
+
+        prod[s,e,i]  = sum_j blocks[s,e,i,j] * x[8*cols[s,e] + j]
+        out[s,i,r]  += sum_e prod[s,e,i] * onehot[s,e,r]
+
+    (out[8*sid+i, r] is exactly the kernel's output tile layout, so the
+    far contribution is one elementwise add — zero scatters.)"""
+
+    cols: jax.Array     # (S, E) i32 block-col of each far entry (0-pad)
+    blocks: jax.Array   # (S, E, B, B) f32 (zero-pad)
+    onehot: jax.Array   # (S, E, LANE) f32: one-hot of the entry's slot
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    n_real: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_far(self) -> int:
+        return self.n_real
+
+    @property
+    def nnz_stored(self) -> int:
+        return self.n_far * B * B
+
+    @property
+    def hbm_bytes(self) -> int:
+        """Per-SpMV traffic: blocks + cols + onehot + gathered x rows +
+        the (S*B, LANE) output add. Padded sizes — that is what streams."""
+        return (self.blocks.size * 4 + self.cols.size * 4
+                + self.onehot.size * 4 + self.cols.size * B * 4
+                + 2 * self.onehot.shape[0] * B * LANE * 4)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SBELL:
@@ -98,7 +171,7 @@ class SBELL:
     meta: jax.Array    # (n_tiles, 128) i32 col_local per slot
     pane: jax.Array    # (n_tiles,) i32 base x-pane per tile (prefetch)
     sid: jax.Array     # (n_tiles,) i32 stripe id per tile (prefetch)
-    far: object        # FarBlocks of scattered far blocks, or None
+    far: object        # FarBlocks (scatter path), FarGrouped, or None
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     n_stripes: int = dataclasses.field(metadata=dict(static=True))
     n_panes: int = dataclasses.field(metadata=dict(static=True))
@@ -134,8 +207,12 @@ class SBELL:
         return self.far.n_far / max(self.far.n_far + self.n_tiles * LANE, 1)
 
     @staticmethod
-    def from_scipy(A) -> "SBELL":
-        """Host-side construction from any scipy.sparse matrix."""
+    def from_scipy(A, group_far: bool = True) -> "SBELL":
+        """Host-side construction from any scipy.sparse matrix.
+
+        group_far=False keeps the far set as flat FarBlocks (the scatter
+        path) — the distributed builder needs the flat form to merge and
+        re-stack shards (parallel/dist_sbell.py)."""
         import scipy.sparse as sps
 
         A = sps.csr_matrix(A)
@@ -221,12 +298,17 @@ class SBELL:
 
         far = None
         if far_br:
-            far = FarBlocks(
-                rows=jnp.asarray(np.concatenate(far_br).astype(np.int32)),
-                cols=jnp.asarray(np.concatenate(far_bc).astype(np.int32)),
-                blocks=jnp.asarray(np.concatenate(far_blk,
-                                                  dtype=np.float32)),
-                shape=(mp, np_))
+            rows_f = np.concatenate(far_br).astype(np.int64)
+            cols_f = np.concatenate(far_bc).astype(np.int64)
+            blk_f = np.concatenate(far_blk, dtype=np.float32)
+            if group_far:
+                far = _group_far(rows_f, cols_f, blk_f, n_stripes,
+                                 (mp, np_))
+            else:
+                far = FarBlocks(
+                    rows=jnp.asarray(rows_f.astype(np.int32)),
+                    cols=jnp.asarray(cols_f.astype(np.int32)),
+                    blocks=jnp.asarray(blk_f), shape=(mp, np_))
 
         return SBELL(
             vflat=jnp.asarray(vflat.reshape(n_tiles_pad * VROWS, LANE)),

@@ -166,13 +166,24 @@ def main():
           f"near_bytes={near_bytes/1e6:.1f} MB "
           f"(DMA floor {near_bytes/hbm*1e6:.1f} us)")
 
-    def t_us(fn, x0, iters=64):
-        per = harness.time_iterated(fn, x0, iters=iters,
-                                    iters_small=max(1, iters // 8))
-        return per * 1e6
+    def t_us(fn, x0, iters=256):
+        """Three independent delta readings, median reported (stall-robust).
+        iters=256 puts ~10-25 ms of compute behind each fetch so the ~4 ms
+        dispatch + stall noise can't collapse the delta."""
+        rs = sorted(
+            harness.time_iterated(fn, x0, iters=iters,
+                                  iters_small=max(1, iters // 8), reps=4)
+            for _ in range(3))
+        lo, med, hi = (r * 1e6 for r in rs)
+        print(f"      [readings {lo:8.1f} {med:8.1f} {hi:8.1f} us]",
+              flush=True)
+        return med
 
+    mode_early = sys.argv[2] if len(sys.argv) > 2 else "ladder"
     # full end-to-end
-    t_full = t_us(lambda v: sbell_spmv(sb, v), x)
+    t_full = 0.0
+    if mode_early != "tpb":
+        t_full = t_us(lambda v: sbell_spmv(sb, v), x)
 
     # near only (skip far): emulate sbell_spmv minus far
     def near_only(v):
@@ -183,20 +194,28 @@ def main():
         out = run(sb.pane, sb.sid, sb.vflat, sb.meta, x3l)
         y = out.reshape(sb.n_stripes, B, LANE).transpose(0, 2, 1).reshape(-1)
         return y[:m]
-    t_near = t_us(near_only, x)
+    t_near = t_us(near_only, x) if mode_early != "tpb" else 0.0
 
     # far only
-    if far is not None:
-        from libhpc_tpu.ops.spmv import far_spmv
+    if far is not None and mode_early != "tpb":
+        from libhpc_tpu.ops.spmv import far_grouped_out, far_spmv
+        from libhpc_tpu.sparse.sbell import FarGrouped
         npad = int(xpad.shape[0])
 
-        def far_step(v):
-            y = far_spmv(far, v)
-            return jnp.pad(y[:min(m, npad)], (0, max(0, npad - m)))[:npad]
+        if isinstance(far, FarGrouped):
+            def far_step(v):
+                o = far_grouped_out(far, v)
+                return v + o[0, 0] * 1e-30
+        else:
+            def far_step(v):
+                y = far_spmv(far, v)
+                return jnp.pad(y[:min(m, npad)],
+                               (0, max(0, npad - m)))[:npad]
         t_far = t_us(far_step, xpad)
     else:
         t_far = 0.0
 
+    mode = sys.argv[2] if len(sys.argv) > 2 else "ladder"
     # raw kernel variants (x -> y chaining via fresh x3 each iter is
     # unnecessary: chain on x3 itself with a cheap self-map)
     variants = {
@@ -207,6 +226,8 @@ def main():
         "nogather+nofma": make_kernel(8, gather=False, fma=False),
         "dmafloor": make_dmafloor_kernel(8),
     }
+    if mode == "tpb":
+        variants = {"dmafloor": make_dmafloor_kernel(8)}
     print(f"{'variant':>16}  {'us':>8}  {'ns/tile':>8}  frac_of_floor")
     base_floor = near_bytes / hbm * 1e6
     for vname, k in variants.items():

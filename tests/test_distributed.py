@@ -133,7 +133,10 @@ def test_scaling_bench_runs(capsys):
     from libhpc_tpu.bench import scaling
 
     out = scaling.run(2048, 4)
-    assert out[1]["gnnz_per_s"] > 0
+    assert out["dia"][1]["gnnz_per_s"] > 0
+    # DistSBELL weak-scaling curve (VERDICT r2 #7): present and measured
+    assert out["sbell"][1]["gnnz_per_s"] > 0
+    assert set(out["sbell"]) == {1, 2, 4}
 
 
 @needs_8

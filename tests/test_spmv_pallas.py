@@ -100,3 +100,76 @@ def test_sbell_duplicate_block_cols():
          (np.array([0, 0, 0]), np.array([0, 200, 4000]))),
         shape=(128, 8192))
     _check(A)
+
+
+def test_sbell_chunked_forced(monkeypatch):
+    """VMEM-cliff guard (VERDICT r2 #5): force the chunked path with a tiny
+    cap and check it matches the resident path and the scipy oracle."""
+    from libhpc_tpu.ops import spmv_pallas
+
+    A = matrices.block_random(300, block=8, blocks_per_row=6, seed=5,
+                              half_band=8, far_fraction=0.02)
+    sb = SBELL.from_scipy(A)
+    x = jnp.asarray(np.linspace(-1, 1, A.shape[1]).astype(np.float32))
+    y_res = np.asarray(sbell_spmv(sb, x))
+    assert spmv_pallas._resident_bytes(sb.n_stripes, sb.n_panes) > 8192
+    monkeypatch.setattr(spmv_pallas, "VMEM_CAP", 8192)
+    sb2 = SBELL.from_scipy(A)   # fresh object (no cached plan)
+    y_chk = np.asarray(sbell_spmv(sb2, x))
+    np.testing.assert_allclose(y_chk, A @ np.asarray(x), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(y_chk, y_res, rtol=1e-6, atol=1e-7)
+    spc, win, tiles_max, bounds = spmv_pallas._chunk_plan(sb2)
+    assert len(bounds) > 1      # actually chunked
+
+
+def test_sbell_chunked_2m_cols(monkeypatch):
+    """>2M columns through the guard (the former scale cliff): a banded
+    block matrix at 2.1M rows/cols, modest cap so the pane+output budget
+    trips, oracle-checked on a spot of rows via scipy."""
+    from libhpc_tpu.ops import spmv_pallas
+
+    n_rows = 2_101_248            # > 2M, multiple of 1024
+    # thin banded matrix built directly in BSR form (vectorized; the
+    # block_random python loop is too slow at this scale)
+    nbr = n_rows // 8
+    rs = np.random.RandomState(11)
+    bpr = 2
+    cols = np.clip(np.arange(nbr)[:, None]
+                   + np.stack([np.zeros(nbr, np.int64),
+                               rs.randint(-4, 5, nbr)], axis=1),
+                   0, nbr - 1)
+    cols.sort(axis=1)
+    data = rs.standard_normal((nbr * bpr, 8, 8)).astype(np.float32) * 0.1
+    indptr = np.arange(nbr + 1, dtype=np.int64) * bpr
+    A = sps.bsr_matrix((data, cols.reshape(-1), indptr),
+                       shape=(n_rows, n_rows)).tocsr()
+    A.sum_duplicates()
+
+    monkeypatch.setattr(spmv_pallas, "VMEM_CAP", 4 * 1024 * 1024)
+    sb = SBELL.from_scipy(A)
+    assert spmv_pallas._resident_bytes(sb.n_stripes, sb.n_panes) \
+        > spmv_pallas.VMEM_CAP
+    x = jnp.asarray(rs.standard_normal(n_rows).astype(np.float32))
+    y = np.asarray(sbell_spmv(sb, x))
+    y_ref = A @ np.asarray(x)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_sbell_spmv_padded_domain():
+    """Padded-domain variant: pad cols are zeros, pad rows inert; result
+    matches the public op and the scipy oracle on the true rows."""
+    from libhpc_tpu.ops.spmv_pallas import sbell_spmv_padded
+
+    A = matrices.block_random(150, block=8, blocks_per_row=5, seed=9,
+                              half_band=5, far_fraction=0.05)
+    sb = SBELL.from_scipy(A)
+    m, n = A.shape
+    x = np.linspace(-1, 1, n).astype(np.float32)
+    xpad = jnp.asarray(np.pad(x, (0, sb.n_panes * 1024 - n)))
+    ypad = np.asarray(sbell_spmv_padded(sb, xpad))
+    assert ypad.shape[0] == sb.n_stripes * 1024
+    np.testing.assert_allclose(ypad[:m], A @ x, rtol=1e-4, atol=1e-5)
+    assert np.all(ypad[m:] == 0.0)
+    y_pub = np.asarray(sbell_spmv(sb, jnp.asarray(x)))
+    np.testing.assert_allclose(ypad[:m], y_pub, rtol=1e-6, atol=1e-7)
