@@ -72,7 +72,8 @@ def main():
     from libhpc_tpu.sparse import CSR, ELL, DIA
     from libhpc_tpu.sparse.sbell import SBELL
     from libhpc_tpu.ops import spmv
-    from libhpc_tpu.ops.spmv_pallas import sbell_spmv, sbell_spmv_padded
+    from libhpc_tpu.ops.spmv_pallas import (sbell_spmv, sbell_spmv_panes,
+                                            x_to_panes)
 
     # ---- workloads -------------------------------------------------------
     # headline: unstructured FEM (cant-class); pwtk-class is the second
@@ -129,15 +130,17 @@ def main():
 
     mu, nu = A_u.shape
     mp_, np2 = A_p.shape
-    # timed in the padded domain (pad cols are zero, pad rows inert):
-    # skips the per-iteration pad+slice launches around the kernel
-    xup = jnp.pad(x_u, (0, sb.n_panes * 1024 - nu))
-    xpp = jnp.pad(x_p, (0, sb_p.n_panes * 1024 - np2))
+    # timed in the pane-resident chained form (sbell_spmv_panes): the
+    # kernel's output layout IS the next x's pane layout, so the flat
+    # API's per-iteration transposes cancel — the form iterative solvers
+    # actually run. Correctness of the full flat path is gated above.
+    xu3 = x_to_panes(sb, jnp.pad(x_u, (0, sb.n_panes * 1024 - nu)))
+    xp3 = x_to_panes(sb_p, jnp.pad(x_p, (0, sb_p.n_panes * 1024 - np2)))
     paths = {
-        "sbell_cant": (lambda x: sbell_spmv_padded(sb, x), xup, A_u.nnz,
+        "sbell_cant": (lambda x: sbell_spmv_panes(sb, x), xu3, A_u.nnz,
                        mu, nu,
                        harness.format_spmv_bytes("sbell", sb, mu, nu), 64),
-        "sbell_pwtk": (lambda x: sbell_spmv_padded(sb_p, x), xpp, A_p.nnz,
+        "sbell_pwtk": (lambda x: sbell_spmv_panes(sb_p, x), xp3, A_p.nnz,
                        mp_, np2,
                        harness.format_spmv_bytes("sbell", sb_p, mp_, np2),
                        32),

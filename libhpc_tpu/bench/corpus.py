@@ -199,7 +199,7 @@ def bench_sbell():
     from libhpc_tpu.bench import matrices
     from libhpc_tpu.bench.harness import (format_spmv_bytes,
                                           measure_hbm_bandwidth)
-    from libhpc_tpu.ops.spmv_pallas import sbell_spmv_padded
+    from libhpc_tpu.ops.spmv_pallas import sbell_spmv_panes, x_to_panes
     from libhpc_tpu.sparse.sbell import SBELL
 
     hbm = measure_hbm_bandwidth()
@@ -207,10 +207,10 @@ def bench_sbell():
         A = matrices.load_or_synthesize(name)
         m, n = A.shape
         sb = SBELL.from_scipy(A)
-        x = jnp.asarray(np.linspace(-1, 1, sb.n_panes * 1024,
-                                    dtype=np.float32))
+        x = x_to_panes(sb, jnp.asarray(np.linspace(
+            -1, 1, sb.n_panes * 1024, dtype=np.float32)))
         nbytes = format_spmv_bytes("sbell", sb, m, n)
-        per = time_iterated(lambda v: sbell_spmv_padded(sb, v), x,
+        per = time_iterated(lambda v: sbell_spmv_panes(sb, v), x,
                             iters=64, iters_small=8)
         _emit(f"spmv_sbell_{name}", per, gnnz_per_s=A.nnz / per / 1e9,
               own_bytes_fraction=nbytes / per / hbm,
@@ -225,7 +225,6 @@ def bench_spmm_cg():
     from libhpc_tpu.bench.harness import measure_hbm_bandwidth
     from libhpc_tpu.ops import solver, spmv
     from libhpc_tpu.ops.spmm import bsr_spmm, ell_spmm
-    from libhpc_tpu.ops.spmv_pallas import sbell_spmv
     from libhpc_tpu.sparse import BSR, CSR, DIA, ELL
     from libhpc_tpu.sparse.sbell import SBELL
 
@@ -267,11 +266,15 @@ def bench_spmm_cg():
     _emit("cg_dia_poisson512_32it", per, iters_per_s=n_it / per,
           gnnz_per_s=n_it * A.nnz / per / 1e9)
 
+    from libhpc_tpu.ops.spmv_pallas import sbell_spmv_panes, x_to_panes
+
     sb = SBELL.from_scipy(Au)
-    bu = jnp.ones((Au.shape[0],), jnp.float32)
+    # CG entirely in the pane-resident layout (axpy/dot are elementwise,
+    # so the solver is layout-oblivious) — the chained form solvers run
+    bu = x_to_panes(sb, jnp.ones((sb.n_panes * 1024,), jnp.float32))
 
     def cg_cant(v):
-        x, _, _ = solver.cg(lambda u: sbell_spmv(sb, u), v, tol=0.0,
+        x, _, _ = solver.cg(lambda u: sbell_spmv_panes(sb, u), v, tol=0.0,
                             max_iter=n_it)
         return v + x * 1e-30
     per = time_iterated(cg_cant, bu, iters=4, iters_small=1)

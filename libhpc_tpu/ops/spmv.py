@@ -99,6 +99,18 @@ def far_grouped_out(farg, x):
     b = farg.blocks.shape[-1]
     xb = x.reshape(-1, b)
     g = xb[farg.cols]                             # (S, E, b) row-gather
+    return _far_grouped_from_gather(farg, g)
+
+
+def far_grouped_out_panes(farg, x3g):
+    """far_grouped_out reading x in PANE layout (n_panes, 8, 128) —
+    x[8c + j] = x3g[c >> 7, j, c & 127]; used by the pane-resident SpMV
+    chain (ops/spmv_pallas.py:sbell_spmv_panes)."""
+    g = x3g[farg.cols >> 7, :, farg.cols & 127]   # (S, E, b)
+    return _far_grouped_from_gather(farg, g)
+
+
+def _far_grouped_from_gather(farg, g):
     # precision="highest": these batched matmuls ride the MXU, whose
     # default bf16 pass loses ~4e-3 relative — enough to fail the 2e-3
     # correctness gate (measured device-vs-host err 0.018 on cant)

@@ -214,34 +214,60 @@ def _sbell_chunked(sb: SBELL, x3):
     return out
 
 
-def sbell_spmv_padded(sb: SBELL, xpad: jax.Array) -> jax.Array:
-    """y = A @ x in the PADDED domain: xpad is (n_panes*1024,) f32 and the
-    result has n_stripes*1024 entries (zero pad rows/cols are inert).
+def x_to_panes(sb: SBELL, xpad: jax.Array) -> jax.Array:
+    """Padded flat x -> pane layout (n_panes, 8, 128):
+    x3[p, j, l] = x[1024 p + 8 l + j]."""
+    return xpad.reshape(sb.n_panes, LANE, B).transpose(0, 2, 1)
 
-    Chained consumers (CG loops, the roofline bench) that stay in the
-    padded domain skip the per-iteration pad + slice ops of sbell_spmv —
-    two of the ~8 XLA launches that cost ~13 us around a 23 us kernel
-    (scripts/exp_sbell_attrib.py, round 3)."""
-    from libhpc_tpu.ops.spmv import far_grouped_out, far_spmv
+
+def panes_to_x(out3: jax.Array) -> jax.Array:
+    """Kernel-output pane layout (S, 8, 128) -> padded flat y."""
+    return out3.transpose(0, 2, 1).reshape(-1)
+
+
+def sbell_spmv_panes(sb: SBELL, x3g: jax.Array) -> jax.Array:
+    """y = A @ x entirely in PANE layout: x3g is (n_panes, 8, 128) with
+    x3g[p, j, l] = x[1024 p + 8 l + j]; the result (n_stripes, 8, 128)
+    satisfies the SAME convention over y — for square matrices the output
+    feeds the next matvec directly.
+
+    This is the fast chained form: the kernel's accumulation layout
+    out[8 sid + i, r] = y[1024 sid + 8 r + i] IS the pane layout of the
+    next x (i<->j, r<->l), so the per-iteration de-transpose +
+    re-transpose of the flat API cancel — the only wrapper ops left are
+    the guard-pane pad and the far add (round-3 attribution: the flat
+    wrapper's ~8 XLA launches cost ~13 us around a 23 us kernel).
+    Iterative solvers keep vectors in this layout across iterations, as
+    any production solver keeps device-resident layouts."""
+    from libhpc_tpu.ops.spmv import far_grouped_out_panes
     from libhpc_tpu.sparse.sbell import FarGrouped
 
-    # x3[p, j, l] = x[PANE_COLS*p + B*l + j]; zero guard panes keep the
-    # second gather pass of single-pane tail tiles in bounds.
-    x3 = xpad.reshape(sb.n_panes, LANE, B).transpose(0, 2, 1)
-    x3 = jnp.pad(x3, ((0, W_PANES - 1), (0, 0), (0, 0)))
+    x3 = jnp.pad(x3g, ((0, W_PANES - 1), (0, 0), (0, 0)))
     if _resident_bytes(sb.n_stripes, sb.n_panes) > VMEM_CAP:
         out = _sbell_chunked(sb, x3)
     else:
         out = _sbell_call((sb.pane, sb.sid, sb.vflat, sb.meta, x3),
                           sb.n_tiles, sb.n_stripes, sb.n_panes)
     if isinstance(sb.far, FarGrouped):
-        # scatter-free far set: lands in the kernel output layout
-        out = out + far_grouped_out(sb.far, xpad)
-    # out[sid*8 + i, r] = y[STRIPE_ROWS*sid + 8*r + i]
-    y = out.reshape(sb.n_stripes, B, LANE).transpose(0, 2, 1).reshape(-1)
-    if sb.far is not None and not isinstance(sb.far, FarGrouped):
-        y = y + far_spmv(sb.far, xpad)
-    return y
+        out = out + far_grouped_out_panes(sb.far, x3g)
+    elif sb.far is not None:
+        from libhpc_tpu.ops.spmv import far_spmv
+
+        yfar = far_spmv(sb.far, panes_to_x(x3g))
+        out = out + yfar.reshape(sb.n_stripes, LANE, B).transpose(
+            0, 2, 1).reshape(sb.n_stripes * B, LANE)
+    return out.reshape(sb.n_stripes, B, LANE)
+
+
+def sbell_spmv_padded(sb: SBELL, xpad: jax.Array) -> jax.Array:
+    """y = A @ x in the PADDED domain: xpad is (n_panes*1024,) f32 and the
+    result has n_stripes*1024 entries (zero pad rows/cols are inert).
+
+    Chained consumers that must stay FLAT skip the pad + slice ops of
+    sbell_spmv; fully chained solvers should use sbell_spmv_panes, which
+    also cancels the layout transposes."""
+    out3 = sbell_spmv_panes(sb, x_to_panes(sb, xpad))
+    return panes_to_x(out3)
 
 
 def sbell_spmv(sb: SBELL, x: jax.Array) -> jax.Array:

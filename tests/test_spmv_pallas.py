@@ -173,3 +173,28 @@ def test_sbell_spmv_padded_domain():
     assert np.all(ypad[m:] == 0.0)
     y_pub = np.asarray(sbell_spmv(sb, jnp.asarray(x)))
     np.testing.assert_allclose(ypad[:m], y_pub, rtol=1e-6, atol=1e-7)
+
+
+def test_sbell_spmv_panes_chain():
+    """Pane-resident chained form: matches the flat API, and chaining
+    y->x through the pane layout equals two flat matvecs (A @ (A @ x))."""
+    from libhpc_tpu.ops.spmv_pallas import (panes_to_x, sbell_spmv_panes,
+                                            x_to_panes)
+
+    A = matrices.block_random(260, block=8, blocks_per_row=5, seed=13,
+                              half_band=5, far_fraction=0.04)
+    m, n = A.shape
+    assert m == n
+    sb = SBELL.from_scipy(A)
+    x = np.linspace(-1, 1, n).astype(np.float32)
+    xpad = np.pad(x, (0, sb.n_panes * 1024 - n))
+    x3 = x_to_panes(sb, jnp.asarray(xpad))
+    o3 = sbell_spmv_panes(sb, x3)
+    y = np.asarray(panes_to_x(o3))[:m]
+    np.testing.assert_allclose(y, A @ x, rtol=1e-4, atol=1e-5)
+    # chain: second application without leaving pane layout
+    o6 = sbell_spmv_panes(sb, o3)
+    y2 = np.asarray(panes_to_x(o6))[:m]
+    Ap = A.copy(); Ap.resize((sb.n_stripes * 1024, sb.n_panes * 1024))
+    np.testing.assert_allclose(y2, (Ap @ (Ap @ xpad))[:m], rtol=1e-3,
+                               atol=1e-4)
