@@ -96,9 +96,13 @@ def _sbell_call(args, n_tiles, n_stripes, n_panes):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
+    # W_PANES-1 zero GUARD stripes ride at the end of the output so a
+    # square chain can feed it straight back as the next guarded x panes
+    # with ZERO wrapper ops (they are zero-initialized, never written)
     return pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((n_stripes * B, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            ((n_stripes + W_PANES - 1) * B, LANE), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret_mode(),
     )(pane, sid, vflat, meta, x3)
@@ -189,9 +193,11 @@ def _chunk_plan(sb: SBELL):
 
 def _sbell_chunked(sb: SBELL, x3):
     """Row-chunked near path: one uniform-shape pallas_call per stripe
-    group, each with a VMEM-resident x pane window and output slice."""
+    group, each with a VMEM-resident x pane window and output slice.
+    x3 arrives GUARDED (n_panes + W_PANES - 1 panes); returns the guarded
+    output shape like the resident path."""
     spc, win, tiles_max, bounds = _chunk_plan(sb)
-    # pad x3 so any window slice is in bounds
+    # pad further so any win-wide window slice is in bounds
     x3p = jnp.pad(x3, ((0, max(0, win - W_PANES + 1)), (0, 0), (0, 0)))
     outs = []
     for (t0, t1, s_lo, p_lo) in bounds:
@@ -211,52 +217,56 @@ def _sbell_chunked(sb: SBELL, x3):
                            vfl, met, xwin), ntp, spc, win)
         outs.append(out[: (s_hi - s_lo) * B])
     out = jnp.concatenate(outs, axis=0)
-    return out
+    # guard stripes to match the resident path's guarded output shape
+    return jnp.pad(out, ((0, (W_PANES - 1) * B), (0, 0)))
 
 
 def x_to_panes(sb: SBELL, xpad: jax.Array) -> jax.Array:
-    """Padded flat x -> pane layout (n_panes, 8, 128):
-    x3[p, j, l] = x[1024 p + 8 l + j]."""
-    return xpad.reshape(sb.n_panes, LANE, B).transpose(0, 2, 1)
+    """Padded flat x -> GUARDED pane layout (n_panes + W_PANES - 1, 8,
+    128): x3[p, j, l] = x[1024 p + 8 l + j], trailing guard panes zero."""
+    x3 = xpad.reshape(sb.n_panes, LANE, B).transpose(0, 2, 1)
+    return jnp.pad(x3, ((0, W_PANES - 1), (0, 0), (0, 0)))
 
 
-def panes_to_x(out3: jax.Array) -> jax.Array:
-    """Kernel-output pane layout (S, 8, 128) -> padded flat y."""
-    return out3.transpose(0, 2, 1).reshape(-1)
+def panes_to_x(sb: SBELL, out3: jax.Array) -> jax.Array:
+    """Guarded kernel-output pane layout -> padded flat y."""
+    return out3[:sb.n_stripes].transpose(0, 2, 1).reshape(-1)
 
 
-def sbell_spmv_panes(sb: SBELL, x3g: jax.Array) -> jax.Array:
-    """y = A @ x entirely in PANE layout: x3g is (n_panes, 8, 128) with
-    x3g[p, j, l] = x[1024 p + 8 l + j]; the result (n_stripes, 8, 128)
-    satisfies the SAME convention over y — for square matrices the output
-    feeds the next matvec directly.
+def sbell_spmv_panes(sb: SBELL, x3: jax.Array) -> jax.Array:
+    """y = A @ x entirely in GUARDED pane layout: x3 is
+    (n_panes + W_PANES - 1, 8, 128) with x3[p, j, l] = x[1024 p + 8 l + j]
+    and zero guard panes at the end; the result
+    (n_stripes + W_PANES - 1, 8, 128) satisfies the SAME convention over
+    y — for square matrices the output feeds the next matvec directly
+    with ZERO wrapper ops (guard stripes come zero-initialized from the
+    kernel; the grouped far set carries matching zero guard stripes).
 
-    This is the fast chained form: the kernel's accumulation layout
-    out[8 sid + i, r] = y[1024 sid + 8 r + i] IS the pane layout of the
-    next x (i<->j, r<->l), so the per-iteration de-transpose +
-    re-transpose of the flat API cancel — the only wrapper ops left are
-    the guard-pane pad and the far add (round-3 attribution: the flat
-    wrapper's ~8 XLA launches cost ~13 us around a 23 us kernel).
-    Iterative solvers keep vectors in this layout across iterations, as
-    any production solver keeps device-resident layouts."""
+    The kernel's accumulation layout out[8 sid + i, r] =
+    y[1024 sid + 8 r + i] IS the pane layout of the next x (i<->j,
+    r<->l), so the per-iteration de-transpose + re-transpose + pads of
+    the flat API cancel entirely (round-3 attribution: those ~8 XLA
+    launches cost ~13 us around a 23 us kernel). Iterative solvers keep
+    vectors in this layout across iterations."""
     from libhpc_tpu.ops.spmv import far_grouped_out_panes
     from libhpc_tpu.sparse.sbell import FarGrouped
 
-    x3 = jnp.pad(x3g, ((0, W_PANES - 1), (0, 0), (0, 0)))
     if _resident_bytes(sb.n_stripes, sb.n_panes) > VMEM_CAP:
         out = _sbell_chunked(sb, x3)
     else:
         out = _sbell_call((sb.pane, sb.sid, sb.vflat, sb.meta, x3),
                           sb.n_tiles, sb.n_stripes, sb.n_panes)
     if isinstance(sb.far, FarGrouped):
-        out = out + far_grouped_out_panes(sb.far, x3g)
+        out = out + far_grouped_out_panes(sb.far, x3)
     elif sb.far is not None:
         from libhpc_tpu.ops.spmv import far_spmv
 
-        yfar = far_spmv(sb.far, panes_to_x(x3g))
-        out = out + yfar.reshape(sb.n_stripes, LANE, B).transpose(
+        xflat = x3[:sb.n_panes].transpose(0, 2, 1).reshape(-1)
+        yfar = far_spmv(sb.far, xflat)
+        yfar = yfar.reshape(sb.n_stripes, LANE, B).transpose(
             0, 2, 1).reshape(sb.n_stripes * B, LANE)
-    return out.reshape(sb.n_stripes, B, LANE)
+        out = out.at[:sb.n_stripes * B].add(yfar)
+    return out.reshape(sb.n_stripes + W_PANES - 1, B, LANE)
 
 
 def sbell_spmv_padded(sb: SBELL, xpad: jax.Array) -> jax.Array:
@@ -267,7 +277,7 @@ def sbell_spmv_padded(sb: SBELL, xpad: jax.Array) -> jax.Array:
     sbell_spmv; fully chained solvers should use sbell_spmv_panes, which
     also cancels the layout transposes."""
     out3 = sbell_spmv_panes(sb, x_to_panes(sb, xpad))
-    return panes_to_x(out3)
+    return panes_to_x(sb, out3)
 
 
 def sbell_spmv(sb: SBELL, x: jax.Array) -> jax.Array:

@@ -94,7 +94,12 @@ class FarBlocks:
 def _group_far(rows, cols, blocks, n_stripes: int, shape):
     """Build the stripe-grouped scatter-free far set (FarGrouped), or fall
     back to the flat FarBlocks when one stripe hoards so many far blocks
-    that uniform padding would blow memory up >4x (+ slack)."""
+    that uniform padding would blow memory up >4x (+ slack).
+
+    The grouped arrays carry W_PANES-1 zero GUARD stripes so the far
+    contribution has the same guarded shape as the kernel output — the
+    far add is then a full-shape elementwise add with no pad op in the
+    chained pane-resident path."""
     nf = rows.shape[0]
     stripe = rows // LANE
     slot = rows % LANE
@@ -107,9 +112,10 @@ def _group_far(rows, cols, blocks, n_stripes: int, shape):
     order = np.argsort(stripe, kind="stable")
     pos = np.concatenate([[0], np.cumsum(counts)])[:-1]
     idx_in_stripe = np.arange(nf) - pos[stripe[order]]
-    cols_p = np.zeros((n_stripes, E), np.int32)
-    blocks_p = np.zeros((n_stripes, E, B, B), np.float32)
-    onehot = np.zeros((n_stripes, E, LANE), np.float32)
+    n_g = n_stripes + W_PANES - 1
+    cols_p = np.zeros((n_g, E), np.int32)
+    blocks_p = np.zeros((n_g, E, B, B), np.float32)
+    onehot = np.zeros((n_g, E, LANE), np.float32)
     s_o = stripe[order]
     e_o = idx_in_stripe
     cols_p[s_o, e_o] = cols[order]

@@ -190,11 +190,14 @@ def test_sbell_spmv_panes_chain():
     xpad = np.pad(x, (0, sb.n_panes * 1024 - n))
     x3 = x_to_panes(sb, jnp.asarray(xpad))
     o3 = sbell_spmv_panes(sb, x3)
-    y = np.asarray(panes_to_x(o3))[:m]
+    assert o3.shape[0] == sb.n_stripes + 2   # guarded output
+    assert np.all(np.asarray(o3[sb.n_stripes:]) == 0.0)
+    y = np.asarray(panes_to_x(sb, o3))[:m]
     np.testing.assert_allclose(y, A @ x, rtol=1e-4, atol=1e-5)
-    # chain: second application without leaving pane layout
+    # chain: second application without leaving pane layout — the guarded
+    # output IS the next guarded x, zero wrapper ops
     o6 = sbell_spmv_panes(sb, o3)
-    y2 = np.asarray(panes_to_x(o6))[:m]
+    y2 = np.asarray(panes_to_x(sb, o6))[:m]
     Ap = A.copy(); Ap.resize((sb.n_stripes * 1024, sb.n_panes * 1024))
     np.testing.assert_allclose(y2, (Ap @ (Ap @ xpad))[:m], rtol=1e-3,
                                atol=1e-4)
