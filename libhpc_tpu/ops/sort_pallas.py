@@ -57,9 +57,11 @@ LANE = 128
 PAIR_MIN_ROWS = int(__import__("os").environ.get(
     "LIBHPC_SORT_PAIR_MIN_ROWS", "8"))
 # lane-axis exchange via one static XOR lane-shuffle (take_along_axis)
-# instead of two rolls + select: 4 VPU ops vs 5 (exp_sort_lanexor.py)
+# instead of two rolls + select. Measured @500M: 380 ms vs 516 (1.315 vs
+# 0.969 G elem/s) — the static lane permutation is far cheaper than two
+# dynamic rolls, not just one op fewer. Default ON (exp_sort_lanexor.py).
 LANE_XOR = __import__("os").environ.get(
-    "LIBHPC_SORT_LANE_XOR", "0") == "1"
+    "LIBHPC_SORT_LANE_XOR", "1") == "1"
 FLIP = np.int32(-(2**31))      # sign-bit flip: u32 order <-> i32 order
 POS_INF = np.int32(2**31 - 1)  # +inf in flipped domain (= u32 0xFFFFFFFF)
 NEG_INF = np.int32(-(2**31))
