@@ -35,10 +35,12 @@ def transpose_pallas(x, tile: int = 1024):
     """(M, N) -> (N, M) via tile×tile VMEM blocks.
 
     Aligned shapes skip the padding copy entirely (it used to cost a full
-    extra HBM pass on the 8192² bench). Tile sweep on v5e (4096², f32):
-    256 -> 553 GB/s, 512 -> 593, 1024 -> 637 (~8 MB VMEM) vs XLA 719 —
-    the Pallas kernel reaches 0.89x XLA, so the public `transpose` stays
-    the XLA path and this kernel serves the in-pipeline layout flips."""
+    extra HBM pass on the 8192² bench). Round-3 same-process sweep on v5e
+    (scripts/exp_transpose2.py, f32): 4096² tile-1024 778 GB/s vs XLA
+    739 (1.05x; round-2's 0.89x was cross-run HBM drift — only
+    same-process comparisons are valid on this rig); 8192² all variants
+    within noise at ~333. Double-wide/tall (t, 2t) blocks at t=1024 crash
+    the remote Mosaic compiler; t=512 variants are slightly slower."""
     m, n = x.shape
     m_pad = cdiv(m, tile) * tile
     n_pad = cdiv(n, tile) * tile
@@ -62,7 +64,18 @@ def transpose_pallas(x, tile: int = 1024):
     return out
 
 
+BEST_TILE = 1024  # winning tile from the round-3 same-process sweep
+
+
 @jax.jit
 def transpose(x):
-    """XLA-native transpose (the baseline the Pallas kernel is benched against)."""
+    """Matrix transpose: Pallas tiled kernel on TPU for 1024-aligned f32
+    shapes (wins the same-process sweep, see transpose_pallas), XLA
+    otherwise."""
+    from libhpc_tpu.ops._pallas_utils import on_tpu
+
+    m, n = x.shape
+    if (on_tpu() and x.dtype == jnp.float32
+            and m % BEST_TILE == 0 and n % BEST_TILE == 0):
+        return transpose_pallas(x, BEST_TILE)
     return x.T
