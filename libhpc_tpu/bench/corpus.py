@@ -18,13 +18,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from libhpc_tpu.bench.harness import time_iterated
+from libhpc_tpu.bench.harness import time_iterated as _time_iterated
 from libhpc_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
 
+def time_iterated(fn, x0, **kw):
+    """harness.time_iterated with relay-noise handling: stalls are
+    one-sided (they only inflate), so take the BEST of two independent
+    delta readings; a collapsed delta (<= 0, reported as ~0 ms — an
+    obviously bogus 'infinite' rate) is retried up to 3x."""
+    best = float("inf")
+    good = 0
+    for _ in range(4):
+        per = _time_iterated(fn, x0, **kw)
+        if per > 2e-7:
+            best = min(best, per)
+            good += 1
+            if good >= 2:
+                return best
+    return best if best < float("inf") else float("nan")
+
+
 def _emit(name: str, per_s: float, **extra):
+    if not (per_s > 2e-7):  # collapsed/NaN reading: refuse to report
+        print(json.dumps({"bench": name,
+                          "error": "no plausible reading"}), flush=True)
+        return
     d = {"bench": name, "ms": round(per_s * 1e3, 4)}
     d.update({k: (round(v, 3) if isinstance(v, float) else v)
               for k, v in extra.items()})
@@ -34,7 +55,7 @@ def _emit(name: str, per_s: float, **extra):
 def bench_stream():
     n = 1 << 25  # 128 MB
     x = jnp.full((n,), 1.0, jnp.float32)
-    per = time_iterated(lambda v: v * 1.0000001, x, iters=36, iters_small=4)
+    per = time_iterated(lambda v: v * 1.0000001, x, iters=128, iters_small=16)
     _emit("stream_mul_128MB", per, gb_per_s=2 * n * 4 / per / 1e9)
 
 
@@ -308,12 +329,17 @@ def bench_particle_writes():
 
 
 def bench_layout():
-    """AOS vs SOA layout sweep — the reference's layout benchmarks
-    (test_hpc_benchmark.cpp:35-144) re-expressed: interleaved (N, 3)
-    'array of structs' vs three planar arrays for a saxpy-like particle
-    update. On TPU the planar (SOA) layout keeps the lane dimension dense;
-    the interleaved layout forces strided access."""
-    n = 1 << 22
+    """AOS vs SOA vs AOSOA layout sweep — the reference's layout
+    benchmarks (test_hpc_benchmark.cpp:35-144) re-expressed: interleaved
+    (N, 3) 'array of structs' vs three planar arrays vs tiled
+    struct-of-128-lane-vectors for a saxpy-like particle update.
+
+    Sized at 32M particles (384 MB live state) so the working set CANNOT
+    stay VMEM-resident across loop iterations: at the reference's 4M
+    scale the whole carry fits v5e's 128 MB VMEM and the 'bandwidth'
+    reads as VMEM speed (measured 6-29 TB/s) — physically real but not
+    the DRAM-class comparison the reference makes."""
+    n = 1 << 25
 
     aos = jnp.ones((n, 3), jnp.float32)
 
@@ -322,8 +348,8 @@ def bench_layout():
         r = x * 1.1 + y * 0.9 + z
         return jnp.stack([x + r * 1e-3, y * 1.0000001, z * 0.9999999], axis=1)
 
-    per = time_iterated(step_aos, aos, iters=16, iters_small=2)
-    _emit("layout_aos_4M", per, gb_per_s=2 * aos.nbytes / per / 1e9)
+    per = time_iterated(step_aos, aos, iters=256, iters_small=32)
+    _emit("layout_aos_32M", per, gb_per_s=2 * aos.nbytes / per / 1e9)
 
     soa = (jnp.ones((n,), jnp.float32),) * 3
 
@@ -332,8 +358,8 @@ def bench_layout():
         r = x * 1.1 + y * 0.9 + z
         return (x + r * 1e-3, y * 1.0000001, z * 0.9999999)
 
-    per = time_iterated(step_soa, soa, iters=16, iters_small=2)
-    _emit("layout_soa_4M", per, gb_per_s=2 * 3 * n * 4 / per / 1e9)
+    per = time_iterated(step_soa, soa, iters=256, iters_small=32)
+    _emit("layout_soa_32M", per, gb_per_s=2 * 3 * n * 4 / per / 1e9)
 
     # AOSOA: (n/128, 3, 128) — structs of 128-lane field vectors, the
     # reference's third layout (test_hpc_benchmark.cpp:105-144). On TPU
@@ -347,42 +373,47 @@ def bench_layout():
         return jnp.stack([x + r * 1e-3, y * 1.0000001, z * 0.9999999],
                          axis=1)
 
-    per = time_iterated(step_aosoa, aosoa, iters=16, iters_small=2)
-    _emit("layout_aosoa_4M", per, gb_per_s=2 * aosoa.nbytes / per / 1e9)
+    per = time_iterated(step_aosoa, aosoa, iters=256, iters_small=32)
+    _emit("layout_aosoa_32M", per, gb_per_s=2 * aosoa.nbytes / per / 1e9)
 
 
 def bench_access():
     """Sequential vs random access — the reference's access-pattern sweep
     (test_hpc_benchmark.cpp:146-290) re-expressed: streaming read vs
     gather-random read of the same 16 MB."""
-    n = 1 << 22
+    n = 1 << 25
     x = jnp.ones((n,), jnp.float32)
-    per = time_iterated(lambda v: v * 1.0000001, x, iters=32, iters_small=4)
-    _emit("access_sequential_16MB", per, gb_per_s=2 * n * 4 / per / 1e9)
+    per = time_iterated(lambda v: v * 1.0000001, x, iters=64, iters_small=8)
+    _emit("access_sequential_128MB", per, gb_per_s=2 * n * 4 / per / 1e9)
 
+    nr = 1 << 22   # random-gather bench stays at 4M (gather-rate bound,
+    xr = jnp.ones((nr,), jnp.float32)   # scale-independent)
     rng = np.random.default_rng(0)
-    idx = jnp.asarray(rng.permutation(n).astype(np.int32))
+    idx = jnp.asarray(rng.permutation(nr).astype(np.int32))
 
     def rand_read(v):
         return v + jnp.sum(v[idx]) * 1e-30
 
-    per = time_iterated(rand_read, x, iters=4, iters_small=1)
-    _emit("access_random_16MB", per, gelem_per_s=n / per / 1e9)
+    per = time_iterated(rand_read, xr, iters=4, iters_small=1)
+    _emit("access_random_16MB", per, gelem_per_s=nr / per / 1e9)
 
 
 def bench_dtypes():
     """int-width / precision sweep — the reference's int-width benches
-    (test_hpc_benchmark.cpp:928-1065): same axpy at f32/bf16/int8."""
-    n = 1 << 24
+    (test_hpc_benchmark.cpp:928-1065): same axpy at f32/bf16/int8.
+    128M elements so even the int8 stream exceeds VMEM residency."""
+    n = 1 << 27
     for dt, name in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16"),
                      (jnp.int8, "i8")]:
         x = jnp.ones((n,), dt)
         if dt == jnp.int8:
             step = lambda v: (v ^ 1)
         else:
-            step = lambda v: v * jnp.asarray(1.0000001, dt)
-        per = time_iterated(step, x, iters=32, iters_small=4)
-        _emit(f"dtype_stream_{name}_16M", per,
+            # bf16-representable multiplier: 1.0000001 rounds to exactly
+            # 1.0 in bf16 and XLA folds the multiply to identity
+            step = lambda v: v * jnp.asarray(1.0078125, dt)
+        per = time_iterated(step, x, iters=48, iters_small=6)
+        _emit(f"dtype_stream_{name}_128M", per,
               gb_per_s=2 * x.nbytes / per / 1e9)
 
 

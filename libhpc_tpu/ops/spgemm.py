@@ -240,9 +240,14 @@ def spgemm_windowed(A_csr, B_csr, window: int = 1 << 21) -> COO:
             jnp.asarray(rel_base.astype(np.int32)), jnp.int32(n_valid),
             B_csr.indices, B_csr.data, W=W, SRC=SRC)
         ne = int(ne)
-        rows_out.append(np.asarray(rr[:ne]))
-        cols_out.append(np.asarray(cc[:ne]))
-        data_out.append(np.asarray(dd[:ne]))
+        # quantized pull size: a fresh slice shape per window would
+        # recompile the fetch each time (seconds each on a remote-attached
+        # TPU); 64Ki quanta bound the distinct shapes to <= W/65536
+        q = min(W, -(-max(ne, 1) // 65536) * 65536)
+        rq, cq, dq = jax.device_get((rr[:q], cc[:q], dd[:q]))
+        rows_out.append(rq[:ne])
+        cols_out.append(cq[:ne])
+        data_out.append(dq[:ne])
 
     # merge boundary duplicates: windows are slot-ordered, so the concat is
     # already (row, col)-sorted except at window seams — one host merge

@@ -28,7 +28,8 @@ y = A @ x for an SBELL matrix (sparse/sbell.py, v4 row-slice layout):
 
 VMEM budget: 2x(TPB*65) KB value+meta stream + 4(n_panes+1) KB x +
 4*n_stripes KB y. Matrices whose x-panes + output exceed the VMEM cap
-(LIBHPC_SBELL_VMEM_CAP, default 96 MB) are automatically row-chunked
+(LIBHPC_SBELL_VMEM_CAP, default 12 MB — XLA's scoped-vmem kernel limit
+is 16 MB, far below physical VMEM) are automatically row-chunked
 (VERDICT r2 #5): stripes are grouped so each group's pane window + output
 slice fit in VMEM, and one pallas_call runs per group (uniform shapes —
 single compilation) — this is what makes the 100M-nnz configs[4] scale
@@ -81,6 +82,57 @@ def _kernel(pane_ref, sid_ref, v_ref, m_ref, x_ref, o_ref):
         o_ref[pl.ds(sid * B, B), :] = o_ref[pl.ds(sid * B, B), :] + pacc
 
 
+def _ranged_kernel(off_ref, slo_ref, plo_ref, pane_ref, sid_ref,
+                   v_ref, m_ref, x_any, o_ref, xs, sem, *, spc: int,
+                   win: int):
+    """Chunked variant of _kernel, ONE pallas_call for all chunks: grid is
+    (n_chunks, gsteps); chunk c walks tile blocks [off[c], off[c]+gsteps)
+    of the GLOBAL tile stream (prefetch-scalar-driven index_map — zero
+    operand copies, one compiled kernel), DMAs its x pane window
+    [plo[c], plo[c]+win) from HBM into scratch at its first step, and
+    predicates off boundary-overlap / padding tiles. o_ref is the chunk's
+    own output block."""
+    c = pl.program_id(0)
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        cp = pltpu.make_async_copy(
+            x_any.at[pl.ds(plo_ref[c], win)], xs, sem)
+        cp.start()
+        cp.wait()
+
+    for t in range(TPB):
+        base = t * VROWS
+        gt = (off_ref[c] + g) * TPB + t
+        col = m_ref[t:t + 1, :]
+        sid = sid_ref[gt] - slo_ref[c]
+        p_raw = pane_ref[gt] - plo_ref[c]
+        valid = (sid >= 0) & (sid < spc) & (p_raw >= 0) \
+            & (p_raw < win - (W_PANES - 1))
+        p = jnp.where(valid, p_raw, 0)
+        sid = jnp.where(valid, sid, 0)
+
+        # predicated arithmetic, not a branch: invalid (boundary-overlap
+        # or padding) tiles read pane 0 and accumulate an all-zero block
+        # into stripe 0 — one extra multiply per tile instead of a
+        # pipeline-flushing per-tile conditional
+        idx = jnp.broadcast_to(col & (LANE - 1), (B, LANE))
+        gx = jnp.take_along_axis(xs[p], idx, axis=1)
+        for w in range(1, W_PANES):
+            sel = jnp.broadcast_to((col >> 7) == w, (B, LANE))
+            gw = jnp.take_along_axis(xs[p + w], idx, axis=1)
+            gx = jnp.where(sel, gw, gx)
+        gx = gx * valid.astype(jnp.float32)
+        pacc = v_ref[base:base + B, :] * gx[0:1, :]
+        for j in range(1, B):
+            pacc = pacc + v_ref[base + B * j:base + B * (j + 1), :] \
+                * gx[j:j + 1, :]
+        o_ref[0, pl.ds(sid * B, B), :] = \
+            o_ref[0, pl.ds(sid * B, B), :] + pacc
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _sbell_call(args, n_tiles, n_stripes, n_panes):
     pane, sid, vflat, meta, x3 = args
@@ -109,10 +161,14 @@ def _sbell_call(args, n_tiles, n_stripes, n_panes):
 
 
 # resident x-panes + output VMEM budget (bytes); beyond it sbell_spmv
-# row-chunks automatically. 96 MB leaves headroom under the 128 MB v5e VMEM
-# for the double-buffered value/meta stream.
+# row-chunks automatically. XLA bounds a kernel's VMEM-resident operands
+# by the SCOPED vmem limit (16 MB default on this toolchain — a 633M-nnz
+# run failed compile at 49.9 MB resident, not at the 128 MB physical
+# VMEM), so the cap defaults to 14 MB (a 13 MB-resident 79M-nnz run
+# compiles and hits 0.70 of roofline), leaving ~1 MB margin for the
+# double-buffered value/meta stream + scratch.
 VMEM_CAP = int(__import__("os").environ.get(
-    "LIBHPC_SBELL_VMEM_CAP", str(96 * 1024 * 1024)))
+    "LIBHPC_SBELL_VMEM_CAP", str(14 * 1024 * 1024)))
 
 
 def _resident_bytes(n_stripes: int, n_panes: int) -> int:
@@ -164,13 +220,17 @@ def _chunk_plan(sb: SBELL):
                     + W_PANES
             else:
                 win = W_PANES
-            worst = max(worst, _resident_bytes(spc, win))
+            # the per-chunk output block double-buffers when its index
+            # changes across the chunk axis — budget it twice
+            worst = max(worst, (win + 2 * (spc + W_PANES - 1))
+                        * B * LANE * 4)
         if worst <= VMEM_CAP:
             break
         spc //= 2
     n_grp = -(-sb.n_stripes // spc)
+    G = sb.n_tiles // TPB
     win_panes = W_PANES
-    bounds = []
+    raw = []
     for g in range(n_grp):
         s_lo, s_hi = g * spc, min((g + 1) * spc, sb.n_stripes)
         sel = (sid_np >= s_lo) & (sid_np < s_hi)
@@ -183,42 +243,81 @@ def _chunk_plan(sb: SBELL):
         else:
             t0 = t1 = 0
             p_lo = 0
-        bounds.append((t0, t1, s_lo, p_lo))
-    tiles_max = max(((t1 - t0 + TPB - 1) // TPB) * TPB
-                    for t0, t1, _, _ in bounds) or TPB
-    plan = (spc, win_panes, tiles_max, tuple(bounds))
+        raw.append((t0, t1, s_lo, p_lo))
+    # grid-step-aligned chunk ranges: every chunk runs the same number of
+    # grid steps over the GLOBAL tile stream (boundary overlap tiles are
+    # predicated off in-kernel), so one compiled kernel serves all chunks
+    # and no operand is ever sliced-and-padded (round-3: those pad copies
+    # doubled the 79M-nnz chunked traffic)
+    gsteps = max((-(-t1 // TPB)) - (t0 // TPB)
+                 for t0, t1, _, _ in raw) or 1
+    gsteps = min(gsteps, G)
+    bounds = []
+    for (t0, t1, s_lo, p_lo) in raw:
+        g0 = min(max(t0 // TPB, 0), G - gsteps)
+        bounds.append((g0, s_lo, p_lo))
+    plan = (spc, win_panes, gsteps, tuple(bounds))
     object.__setattr__(sb, "_chunk_plan_cache", plan)
     return plan
 
 
-def _sbell_chunked(sb: SBELL, x3):
-    """Row-chunked near path: one uniform-shape pallas_call per stripe
-    group, each with a VMEM-resident x pane window and output slice.
-    x3 arrives GUARDED (n_panes + W_PANES - 1 panes); returns the guarded
-    output shape like the resident path."""
-    spc, win, tiles_max, bounds = _chunk_plan(sb)
-    # pad further so any win-wide window slice is in bounds
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _sbell_call_ranged(args, n_chunks, gsteps, spc, win):
+    off, slo, plo, pane, sid, vflat, meta, x3p = args
+    orows = (spc + W_PANES - 1) * B
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_chunks, gsteps),
+        in_specs=[
+            pl.BlockSpec((TPB * VROWS, LANE),
+                         lambda c, g, off, *_: (off[c] + g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TPB, LANE),
+                         lambda c, g, off, *_: (off[c] + g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # x panes stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, orows, LANE),
+                               lambda c, g, *_: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((win, B, LANE), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        partial(_ranged_kernel, spc=spc, win=win),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, orows, LANE),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret_mode(),
+    )(off, slo, plo, pane, sid, vflat, meta, x3p)
+
+
+def _sbell_chunked(sb: SBELL, x3, plan=None):
+    """Row-chunked near path: ONE pallas_call over a (chunk, step) grid;
+    each chunk walks its range of the GLOBAL tile stream via a
+    prefetch-scalar-driven index_map and DMAs its x pane window from HBM
+    in-kernel — zero operand copies, one compiled kernel, one dispatch.
+    x3 arrives GUARDED; returns the guarded output shape like the
+    resident path. Under jit, pass the host-computed plan explicitly (the
+    per-object cache does not survive pytree reconstruction of traced
+    arguments)."""
+    spc, win, gsteps, bounds = plan if plan is not None \
+        else _chunk_plan(sb)
+    # pad so any win-wide window DMA is in bounds
     x3p = jnp.pad(x3, ((0, max(0, win - W_PANES + 1)), (0, 0), (0, 0)))
-    outs = []
-    for (t0, t1, s_lo, p_lo) in bounds:
-        nt = t1 - t0
-        ntp = tiles_max
-        # zero-padded tiles accumulate zeros into (local) stripe 0 — inert
-        vfl = jnp.pad(sb.vflat[t0 * VROWS:t1 * VROWS],
-                      ((0, (ntp - nt) * VROWS), (0, 0)))
-        met = jnp.pad(sb.meta[t0:t1], ((0, ntp - nt), (0, 0)))
-        pane = jnp.pad(sb.pane[t0:t1], (0, ntp - nt),
-                       constant_values=p_lo)
-        sid = jnp.pad(sb.sid[t0:t1], (0, ntp - nt), constant_values=s_lo)
-        s_hi = min(s_lo + spc, sb.n_stripes)
-        xwin = x3p[p_lo:p_lo + win]
-        out = _sbell_call(((pane - p_lo).astype(jnp.int32),
-                           (sid - s_lo).astype(jnp.int32),
-                           vfl, met, xwin), ntp, spc, win)
-        outs.append(out[: (s_hi - s_lo) * B])
-    out = jnp.concatenate(outs, axis=0)
+    n_chunks = len(bounds)
+    off = jnp.asarray([b[0] for b in bounds], jnp.int32)
+    slo = jnp.asarray([b[1] for b in bounds], jnp.int32)
+    plo = jnp.asarray([b[2] for b in bounds], jnp.int32)
+    out = _sbell_call_ranged(
+        (off, slo, plo, sb.pane, sb.sid, sb.vflat, sb.meta, x3p),
+        n_chunks, gsteps, spc, win)
+    # full chunks hold exactly spc stripes; the tail chunk is sliced by
+    # the global stripe count
+    y = out[:, :spc * B, :].reshape(n_chunks * spc * B, LANE)
+    y = y[:sb.n_stripes * B]
     # guard stripes to match the resident path's guarded output shape
-    return jnp.pad(out, ((0, (W_PANES - 1) * B), (0, 0)))
+    return jnp.pad(y, ((0, (W_PANES - 1) * B), (0, 0)))
 
 
 def x_to_panes(sb: SBELL, xpad: jax.Array) -> jax.Array:
@@ -233,7 +332,8 @@ def panes_to_x(sb: SBELL, out3: jax.Array) -> jax.Array:
     return out3[:sb.n_stripes].transpose(0, 2, 1).reshape(-1)
 
 
-def sbell_spmv_panes(sb: SBELL, x3: jax.Array) -> jax.Array:
+def sbell_spmv_panes(sb: SBELL, x3: jax.Array, chunk_plan=None
+                     ) -> jax.Array:
     """y = A @ x entirely in GUARDED pane layout: x3 is
     (n_panes + W_PANES - 1, 8, 128) with x3[p, j, l] = x[1024 p + 8 l + j]
     and zero guard panes at the end; the result
@@ -252,7 +352,7 @@ def sbell_spmv_panes(sb: SBELL, x3: jax.Array) -> jax.Array:
     from libhpc_tpu.sparse.sbell import FarGrouped
 
     if _resident_bytes(sb.n_stripes, sb.n_panes) > VMEM_CAP:
-        out = _sbell_chunked(sb, x3)
+        out = _sbell_chunked(sb, x3, chunk_plan)
     else:
         out = _sbell_call((sb.pane, sb.sid, sb.vflat, sb.meta, x3),
                           sb.n_tiles, sb.n_stripes, sb.n_panes)

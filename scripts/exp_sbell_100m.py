@@ -30,7 +30,9 @@ from libhpc_tpu.sparse.sbell import SBELL  # noqa: E402
 
 
 def main():
-    nbr = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
+    # 200k block rows x 8 blocks x 64 = ~100M nnz (dedupe trims ~3%);
+    # pass 1_600_000 for the 633M-nnz stress variant
+    nbr = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     print("devices:", jax.devices(), flush=True)
     t0 = time.perf_counter()
     A = block_random_fast(nbr, blocks_per_row=8, half_band=6,
@@ -58,13 +60,44 @@ def main():
     ok = np.allclose(y, y_ref, rtol=2e-3, atol=2e-3)
     print(f"correct: {ok}", flush=True)
 
+    # time with sb as a JIT ARGUMENT: closing over a 300+ MB matrix embeds
+    # it in the remote compile payload (HTTP 413, round-1 lesson). The
+    # chunk plan is already cached on the object (the correctness call
+    # above), so the chunked path traces cleanly.
+    import time as _t
+    from functools import partial
+
+    x3 = spmv_pallas.x_to_panes(sb, jnp.pad(x, (0, sb.n_panes * 1024 - n)))
+    # host-computed chunk plan (a static tuple) rides the closure: the
+    # per-object plan cache does not survive jit pytree reconstruction
+    plan = spmv_pallas._chunk_plan(sb) \
+        if spmv_pallas._resident_bytes(sb.n_stripes, sb.n_panes) \
+        > spmv_pallas.VMEM_CAP else None
+
+    @partial(jax.jit, static_argnums=(2,))
+    def runner(sbv, x3v, iters):
+        def body(_, v):
+            return jax.tree_util.tree_map(
+                jax.lax.optimization_barrier,
+                spmv_pallas.sbell_spmv_panes(sbv, v, chunk_plan=plan))
+        out = jax.lax.fori_loop(0, iters, body, x3v)
+        return jnp.sum(out)
+
+    def fetch(it):
+        return float(runner(sb, x3, it))
+
+    fetch(2); fetch(12)  # compile both sizes
+    def tmin(it):
+        best = float("inf")
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            fetch(it)
+            best = min(best, _t.perf_counter() - t0)
+        return best
+    per = max((tmin(12) - tmin(2)) / 10, 1e-9)
     nbytes = harness.format_spmv_bytes("sbell", sb, m, n)
-    r = harness.bench_spmv_square(
-        lambda v: spmv_pallas.sbell_spmv(sb, v), x, A.nnz, m, n, hbm,
-        iters=16, bytes_moved=nbytes)
-    print(f"sbell_100M: {r['seconds']*1e3:.2f} ms  "
-          f"{r['nnz_per_s']/1e9:.2f} Gnnz/s  "
-          f"own-bytes fraction {r['roofline_fraction']:.3f}", flush=True)
+    print(f"sbell_100M: {per*1e3:.2f} ms  {A.nnz/per/1e9:.2f} Gnnz/s  "
+          f"own-bytes fraction {nbytes/per/hbm:.3f}", flush=True)
 
 
 if __name__ == "__main__":
