@@ -237,11 +237,38 @@ def bench_sbell():
               own_bytes_fraction=nbytes / per / hbm,
               hbm_gb_per_s=hbm / 1e9)
 
+        # bf16 value stream (ROADMAP #7 / VERDICT r3 #4): gated against
+        # the bf16-QUANTIZED operator (the kernel accumulates f32)
+        sb16 = sb.astype_values(jnp.bfloat16)
+        from libhpc_tpu.ops.spmv_pallas import sbell_spmv
+
+        xf = np.linspace(-1, 1, n, dtype=np.float32)
+        Aq = A.copy()
+        Aq.data = np.asarray(jnp.asarray(A.data).astype(
+            jnp.bfloat16).astype(jnp.float32))
+        y16 = np.asarray(sbell_spmv(sb16, jnp.asarray(xf)))
+        ok16 = np.allclose(y16, Aq @ xf, rtol=2e-3, atol=2e-3)
+        if not ok16:
+            print(json.dumps({"bench": f"spmv_sbell_{name}_bf16",
+                              "error": "incorrect result"}), flush=True)
+            continue
+        nbytes16 = format_spmv_bytes("sbell", sb16, m, n)
+        per = time_iterated(lambda v: sbell_spmv_panes(sb16, v), x,
+                            iters=64, iters_small=8)
+        _emit(f"spmv_sbell_{name}_bf16", per,
+              gnnz_per_s=A.nnz / per / 1e9,
+              own_bytes_fraction=nbytes16 / per / hbm,
+              speedup_vs_f32_bytes=nbytes / nbytes16, correct=True)
+
 
 def bench_spmm_cg():
     """BASELINE configs[2]: SpMM (sparse x 64-col dense) + CG solver loop,
     on Poisson and cant-class — the reference's blocked-matmul/solver
-    workload family (test_hpc_benchmark.cpp:758-784) at BASELINE scale."""
+    workload family (test_hpc_benchmark.cpp:758-784) at BASELINE scale.
+
+    Every timed path is gated on an oracle check first (VERDICT r3 weak
+    #3: these numbers are the configs[2] evidence — the bench.py
+    discipline of never timing an unverified output applies)."""
     from libhpc_tpu.bench import matrices
     from libhpc_tpu.bench.harness import measure_hbm_bandwidth
     from libhpc_tpu.ops import solver, spmv
@@ -249,30 +276,46 @@ def bench_spmm_cg():
     from libhpc_tpu.sparse import BSR, CSR, DIA, ELL
     from libhpc_tpu.sparse.sbell import SBELL
 
+    def _gate(name, ok):
+        if not ok:
+            print(json.dumps({"bench": name, "error": "incorrect result"}),
+                  flush=True)
+        return ok
+
     hbm = measure_hbm_bandwidth()
     K = 64
+    rng = np.random.default_rng(7)
 
     # -- SpMM: Poisson via ELL (structured), cant via BSR (FEM blocks) ----
     A = matrices.poisson2d(512)
     ell = ELL.from_csr(CSR.from_scipy(A))
-    X = jnp.ones((A.shape[1], K), jnp.float32)
+    X = jnp.asarray(rng.standard_normal((A.shape[1], K)).astype(np.float32))
+    okm = np.allclose(np.asarray(ell_spmm(ell, X)), A @ np.asarray(X),
+                      rtol=2e-3, atol=2e-3)
     # own-bytes: stored vals+cols once, X once, Y once
     nbytes = ell.vals.size * 8 + (A.shape[1] + A.shape[0]) * K * 4
-    per = time_iterated(lambda v: ell_spmm(ell, v) * 1e-2, X, iters=16,
-                        iters_small=2)
-    _emit("spmm_ell_poisson512_k64", per,
-          gflops=2 * A.nnz * K / per / 1e9,
-          own_bytes_fraction=nbytes / per / hbm)
+    if _gate("spmm_ell_poisson512_k64", okm):
+        per = time_iterated(lambda v: ell_spmm(ell, v) * 1e-2, X, iters=16,
+                            iters_small=2)
+        _emit("spmm_ell_poisson512_k64", per,
+              gflops=2 * A.nnz * K / per / 1e9,
+              own_bytes_fraction=nbytes / per / hbm, correct=True)
 
     Au = matrices.load_or_synthesize("cant")
     bsr = BSR.from_scipy(Au, block=8)
-    Xu = jnp.ones((bsr.shape[1], K), jnp.float32)
+    Xu = jnp.asarray(
+        rng.standard_normal((bsr.shape[1], K)).astype(np.float32))
+    Yu = np.asarray(bsr_spmm(bsr, Xu))
+    Aup = Au.copy()
+    Aup.resize(bsr.shape)
+    oku = np.allclose(Yu, Aup @ np.asarray(Xu), rtol=2e-3, atol=2e-3)
     nbytes = bsr.blocks.size * 4 + bsr.indices.size * 4 \
         + (bsr.shape[1] + bsr.shape[0]) * K * 4
-    per = time_iterated(lambda v: bsr_spmm(bsr, v) * 1e-2, Xu, iters=16,
-                        iters_small=2)
-    _emit("spmm_bsr_cant_k64", per, gflops=2 * Au.nnz * K / per / 1e9,
-          own_bytes_fraction=nbytes / per / hbm)
+    if _gate("spmm_bsr_cant_k64", oku):
+        per = time_iterated(lambda v: bsr_spmm(bsr, v) * 1e-2, Xu, iters=16,
+                            iters_small=2)
+        _emit("spmm_bsr_cant_k64", per, gflops=2 * Au.nnz * K / per / 1e9,
+              own_bytes_fraction=nbytes / per / hbm, correct=True)
 
     # -- CG loop: fixed 32 iterations (tol=0 never triggers), its/s --------
     n_it = 32
@@ -283,24 +326,175 @@ def bench_spmm_cg():
         x, _, _ = solver.cg(lambda u: spmv.dia_spmv(D, u), v, tol=0.0,
                             max_iter=n_it)
         return v + x * 1e-30
-    per = time_iterated(cg_poisson, b, iters=4, iters_small=1)
-    _emit("cg_dia_poisson512_32it", per, iters_per_s=n_it / per,
-          gnnz_per_s=n_it * A.nnz / per / 1e9)
 
-    from libhpc_tpu.ops.spmv_pallas import sbell_spmv_panes, x_to_panes
+    # gate: 32 CG iterations on SPD Poisson must shrink the residual
+    xs, _, _ = solver.cg(lambda u: spmv.dia_spmv(D, u), b, tol=0.0,
+                         max_iter=n_it)
+    r = np.asarray(b) - A @ np.asarray(xs)
+    okc = np.isfinite(r).all() and (
+        np.linalg.norm(r) < 0.5 * np.linalg.norm(np.asarray(b)))
+    if _gate("cg_dia_poisson512_32it", okc):
+        per = time_iterated(cg_poisson, b, iters=4, iters_small=1)
+        _emit("cg_dia_poisson512_32it", per, iters_per_s=n_it / per,
+              gnnz_per_s=n_it * A.nnz / per / 1e9, correct=True)
+
+    from libhpc_tpu.ops.spmv_pallas import (panes_to_x, sbell_spmv_panes,
+                                            x_to_panes)
 
     sb = SBELL.from_scipy(Au)
     # CG entirely in the pane-resident layout (axpy/dot are elementwise,
-    # so the solver is layout-oblivious) — the chained form solvers run
+    # so the solver is layout-oblivious) — the chained form solvers run.
+    # cant-like is NOT SPD, so "CG" here is the fixed-iteration workload
+    # loop; the gate checks the matvec itself against scipy instead.
     bu = x_to_panes(sb, jnp.ones((sb.n_panes * 1024,), jnp.float32))
+    y_pane = panes_to_x(sb, sbell_spmv_panes(sb, bu))[:Au.shape[0]]
+    oks = np.allclose(np.asarray(y_pane),
+                      Au @ np.ones(Au.shape[1], np.float32),
+                      rtol=2e-3, atol=2e-3)
 
     def cg_cant(v):
         x, _, _ = solver.cg(lambda u: sbell_spmv_panes(sb, u), v, tol=0.0,
                             max_iter=n_it)
         return v + x * 1e-30
-    per = time_iterated(cg_cant, bu, iters=4, iters_small=1)
-    _emit("cg_sbell_cant_32it", per, iters_per_s=n_it / per,
-          gnnz_per_s=n_it * Au.nnz / per / 1e9)
+
+    if _gate("cg_sbell_cant_32it", oks):
+        per = time_iterated(cg_cant, bu, iters=4, iters_small=1)
+        _emit("cg_sbell_cant_32it", per, iters_per_s=n_it / per,
+              gnnz_per_s=n_it * Au.nnz / per / 1e9, correct=True)
+
+
+def bench_scale():
+    """BASELINE configs[4] single-chip scale as COMMITTED corpus entries
+    (VERDICT r3 missing #2: these numbers lived in throwaway scripts for
+    three rounds): ~100M-nnz SBELL SpMV through the VMEM-chunked kernel,
+    and exact windowed SpGEMM on a 10M+-nnz operand — both oracle-gated
+    before timing. Reference benchmark-driver discipline:
+    tests/test_gpu_benchmark/test_gpu_benchmark.cpp:12,96-126."""
+    import time as _t
+    from functools import partial as _partial
+
+    from libhpc_tpu.bench import harness, matrices
+    from libhpc_tpu.ops import spmv_pallas
+    from libhpc_tpu.sparse.sbell import SBELL
+
+    hbm = harness.measure_hbm_bandwidth()
+
+    # ---- 100M-nnz chunked SBELL SpMV --------------------------------------
+    t0 = _t.perf_counter()
+    A = matrices.block_random_fast(200_000, blocks_per_row=8, half_band=6,
+                                   far_fraction=0.01, seed=3)
+    m, n = A.shape
+    sb = SBELL.from_scipy(A)
+    build_s = _t.perf_counter() - t0
+    resident = spmv_pallas._resident_bytes(sb.n_stripes, sb.n_panes)
+    chunked = resident > spmv_pallas.VMEM_CAP
+    plan = spmv_pallas._chunk_plan(sb) if chunked else None
+
+    x = jnp.asarray(np.linspace(-1, 1, n).astype(np.float32))
+    y = np.asarray(spmv_pallas.sbell_spmv(sb, x))
+    ok = np.allclose(y, A @ np.asarray(x), rtol=2e-3, atol=2e-3)
+    if not ok:
+        print(json.dumps({"bench": "spmv_sbell_100m_chunked",
+                          "error": "incorrect result"}), flush=True)
+    else:
+        # time with sb as a JIT ARGUMENT: closing over a 400 MB matrix
+        # embeds it in the remote compile payload (HTTP 413, round 1)
+        x3 = spmv_pallas.x_to_panes(
+            sb, jnp.pad(x, (0, sb.n_panes * 1024 - n)))
+
+        @_partial(jax.jit, static_argnums=(2,))
+        def runner(sbv, x3v, iters):
+            def body(_, v):
+                return jax.tree_util.tree_map(
+                    jax.lax.optimization_barrier,
+                    spmv_pallas.sbell_spmv_panes(sbv, v, chunk_plan=plan))
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, x3v))
+
+        def fetch(it):
+            return float(runner(sb, x3, it))
+
+        fetch(2)
+        fetch(12)
+
+        def tmin(it):
+            best = float("inf")
+            for _ in range(3):
+                t1 = _t.perf_counter()
+                fetch(it)
+                best = min(best, _t.perf_counter() - t1)
+            return best
+
+        per = max((tmin(12) - tmin(2)) / 10, 1e-9)
+        nbytes = harness.format_spmv_bytes("sbell", sb, m, n)
+        _emit("spmv_sbell_100m_chunked", per,
+              gnnz_per_s=A.nnz / per / 1e9,
+              own_bytes_fraction=nbytes / per / hbm,
+              nnz_m=round(A.nnz / 1e6, 1), chunked=chunked,
+              n_chunks=len(plan[3]) if chunked else 1,
+              resident_mb=round(resident / 1e6, 1),
+              vmem_cap_mb=round(spmv_pallas.VMEM_CAP / 1e6, 1),
+              build_s=round(build_s, 1), correct=True)
+    del A, sb
+
+    # ---- 10M+-nnz exact windowed SpGEMM -----------------------------------
+    from libhpc_tpu.ops.spgemm import spgemm_windowed
+    from libhpc_tpu.sparse.csr import CSR
+
+    Ap = matrices.pwtk_like()
+    Ac = CSR.from_scipy(Ap)
+    lenB = np.diff(Ap.indptr).astype(np.int64)
+    S = int(lenB[Ap.indices].sum())     # expansion size (partial products)
+    t0 = _t.perf_counter()
+    C = spgemm_windowed(Ac, Ac, window=1 << 22)
+    jax.block_until_ready(C.data)
+    t_gemm = _t.perf_counter() - t0
+    Cref = (Ap @ Ap).tocsr()
+    Cref.sort_indices()
+    got = C.to_scipy().tocsr()
+    got.sort_indices()
+    ok = got.nnz == Cref.nnz and abs(got - Cref).max() < 1e-2
+    if not ok:
+        print(json.dumps({"bench": "spgemm_windowed_pwtk_10m",
+                          "error": "incorrect result"}), flush=True)
+    else:
+        _emit("spgemm_windowed_pwtk_10m", t_gemm,
+              g_products_per_s=S / t_gemm / 1e9,
+              expansion_m=round(S / 1e6, 1),
+              nnz_a_m=round(Ap.nnz / 1e6, 1),
+              nnz_c_m=round(Cref.nnz / 1e6, 1), correct=True)
+
+
+def bench_amg():
+    """AMG-preconditioned CG with SBELL smoothing (VERDICT r3 #8): V-cycle
+    apply rate + solve iteration count on the SPD-ified cant-class FEM
+    operator."""
+    import scipy.sparse as sps
+
+    from libhpc_tpu.bench import matrices
+    from libhpc_tpu.ops import multigrid_sbell as amg
+    from libhpc_tpu.ops.spmv_pallas import sbell_spmv
+
+    B = matrices.load_or_synthesize("cant")
+    A = (B + B.T).tocsr()
+    rowsum = np.asarray(np.abs(A).sum(axis=1)).ravel()
+    A = (A + sps.diags(rowsum + 1.0)).tocsr().astype(np.float32)
+    H = amg.amg_setup(A, n_levels=3, coarse_max=3000)
+    sb = H.levels[0].sbell
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(A.shape[0]).astype(np.float32)
+    x, it, _ = amg.amg_pcg(H, lambda v: sbell_spmv(sb, v),
+                           jnp.asarray(b), tol=1e-6, max_iter=200)
+    r = b - A @ np.asarray(x)
+    ok = np.linalg.norm(r) <= 2e-6 * max(np.linalg.norm(b), 1.0) * 10
+    if not ok:
+        print(json.dumps({"bench": "amg_pcg_cant_spd",
+                          "error": "incorrect result"}), flush=True)
+        return
+    bj = jnp.asarray(b)
+    per = time_iterated(lambda v: amg.amg_vcycle(H, v) * 1e-6 + v * 0.5,
+                        bj, iters=8, iters_small=2)
+    _emit("amg_vcycle_cant_spd", per,
+          levels=len(H.levels) + 1, pcg_iters=int(it), correct=True)
 
 
 def bench_particle_writes():
@@ -429,6 +623,8 @@ ALL = {
     "spmv": bench_spmv,
     "sbell": bench_sbell,
     "spmm_cg": bench_spmm_cg,
+    "scale": bench_scale,
+    "amg": bench_amg,
     "particles": bench_particle_writes,
     "access": bench_access,
     "dtypes": bench_dtypes,

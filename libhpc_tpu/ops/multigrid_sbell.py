@@ -1,0 +1,190 @@
+"""Aggregation AMG with the SBELL Pallas matvec as the smoother engine.
+
+VERDICT r3 #8: the geometric V-cycle (ops/multigrid.py) is matrix-free;
+this module brings the multigrid capability to ARBITRARY SPD operators on
+the flagship unstructured path — the same pane-resident SBELL kernel that
+wins the configs[1] roofline (ops/spmv_pallas.py:sbell_spmv_panes) runs
+every smoothing sweep, exercising it under jit-of-solver conditions.
+
+Design (TPU-first):
+  * setup (host, one-time): greedy strength-based aggregation, Galerkin
+    coarse operators P^T A P in scipy, each level stored as SBELL + an
+    inverse-diagonal plane in GUARDED PANE layout; the coarsest level is
+    a precomputed dense inverse (MXU matmul at apply time).
+  * apply (jit, static level structure): weighted-Jacobi sweeps entirely
+    in pane layout (the kernel's output layout IS the next sweep's input
+    layout — zero per-sweep transposes); piecewise-constant transfers are
+    one segment_sum (restrict) / one gather (prolong) per level.
+  * symmetric pre/post smoothing keeps the V-cycle SPD, so it serves as
+    the preconditioner operator for pcg_op (ops/solver.py).
+
+The reference has no multigrid; this is part of the designated solver
+re-expression of its workload layer (SURVEY.md §7, BASELINE.json
+configs[2] solver family, reference workload skeleton
+tests/test_hpc_benchmark/test_hpc_benchmark.cpp:758-830).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libhpc_tpu.ops.spmv_pallas import (panes_to_x, sbell_spmv_panes,
+                                        x_to_panes)
+from libhpc_tpu.sparse.sbell import PANE_COLS, SBELL
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AMGLevel:
+    """One fine/intermediate level of the hierarchy."""
+
+    sbell: SBELL       # the level operator on the Pallas path
+    dinv3: jax.Array   # omega / diag in GUARDED pane layout (0 on padding)
+    agg: jax.Array     # (n,) i32 aggregate id of each row
+    n: int = dataclasses.field(metadata=dict(static=True))
+    nc: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AMGHierarchy:
+    levels: tuple            # tuple[AMGLevel, ...]
+    coarse_inv: jax.Array    # (nc, nc) dense inverse of the coarsest op
+    pre: int = dataclasses.field(metadata=dict(static=True))
+    post: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _aggregate(A, theta: float):
+    """Greedy strength-based aggregation (host). Returns (agg ids, nc).
+
+    Strong edge: |a_ij| >= theta * sqrt(|a_ii a_jj|). Pass 1 seeds an
+    aggregate from every node whose strong neighborhood is untouched;
+    pass 2 attaches leftovers to a neighboring aggregate; pass 3 makes
+    singletons of the rest."""
+    import scipy.sparse as sps
+
+    A = sps.csr_matrix(A)
+    n = A.shape[0]
+    d = np.abs(A.diagonal()) + 1e-30
+    coo = A.tocoo()
+    strong = (np.abs(coo.data)
+              >= theta * np.sqrt(d[coo.row] * d[coo.col]))
+    strong &= coo.row != coo.col
+    S = sps.csr_matrix(
+        (np.ones(int(strong.sum()), np.int8),
+         (coo.row[strong], coo.col[strong])), shape=(n, n))
+    indptr, indices = S.indptr, S.indices
+    agg = np.full(n, -1, np.int64)
+    nc = 0
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nb = indices[indptr[i]:indptr[i + 1]]
+        if (agg[nb] == -1).all():
+            agg[i] = nc
+            agg[nb] = nc
+            nc += 1
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nb = indices[indptr[i]:indptr[i + 1]]
+        owned = nb[agg[nb] != -1]
+        if owned.size:
+            agg[i] = agg[owned[0]]
+    rest = np.flatnonzero(agg == -1)
+    agg[rest] = nc + np.arange(rest.size)
+    nc += rest.size
+    return agg, nc
+
+
+def _level_from_scipy(A_l, agg, nc, omega: float) -> AMGLevel:
+    sb = SBELL.from_scipy(A_l)
+    n = A_l.shape[0]
+    npad = sb.n_panes * PANE_COLS
+    diag = np.asarray(A_l.diagonal(), np.float32)
+    dinv = np.zeros(npad, np.float32)
+    nzd = diag != 0.0
+    dinv[:n][nzd] = omega / diag[nzd]
+    dinv3 = x_to_panes(sb, jnp.asarray(dinv))
+    return AMGLevel(sbell=sb, dinv3=dinv3,
+                    agg=jnp.asarray(agg, jnp.int32), n=n, nc=nc)
+
+
+def amg_setup(A, n_levels: int = 3, theta: float = 0.08,
+              omega: float = 0.65, coarse_max: int = 3000,
+              pre: int = 2, post: int = 2) -> AMGHierarchy:
+    """Build the hierarchy from a scipy SPD matrix (host, one-time).
+
+    Coarsening stops early once the operator is <= coarse_max rows; the
+    coarsest operator is inverted densely (applied as one MXU matmul)."""
+    import scipy.sparse as sps
+
+    A_l = sps.csr_matrix(A).astype(np.float32)
+    if A_l.shape[0] != A_l.shape[1]:
+        raise ValueError("amg_setup needs a square (SPD) operator")
+    levels = []
+    for _ in range(max(n_levels - 1, 0)):
+        if A_l.shape[0] <= coarse_max:
+            break
+        agg, nc = _aggregate(A_l, theta)
+        levels.append(_level_from_scipy(A_l, agg, nc, omega))
+        n = A_l.shape[0]
+        P = sps.csr_matrix(
+            (np.ones(n, np.float32), (np.arange(n), agg)), shape=(n, nc))
+        A_l = (P.T @ A_l @ P).tocsr()
+        A_l.sort_indices()
+    coarse_inv = jnp.asarray(
+        np.linalg.inv(A_l.toarray().astype(np.float64)).astype(np.float32))
+    return AMGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
+                        pre=pre, post=post)
+
+
+def _smooth(lev: AMGLevel, u3, f3, sweeps: int):
+    """Weighted-Jacobi sweeps in guarded pane layout (guard panes of
+    dinv3 are zero, so guards stay zero for the chained kernel input)."""
+    for _ in range(sweeps):
+        u3 = u3 + lev.dinv3 * (f3 - sbell_spmv_panes(lev.sbell, u3))
+    return u3
+
+
+def _cycle(H: AMGHierarchy, li: int, f):
+    """Recursive V-cycle body (unrolled at trace time; flat f per level)."""
+    if li == len(H.levels):
+        return H.coarse_inv @ f
+    lev = H.levels[li]
+    sb = lev.sbell
+    npad = sb.n_panes * PANE_COLS
+    f3 = x_to_panes(sb, jnp.pad(f, (0, npad - lev.n)))
+    u3 = lev.dinv3 * f3                      # first sweep from zero guess
+    u3 = _smooth(lev, u3, f3, H.pre - 1)
+    r3 = f3 - sbell_spmv_panes(sb, u3)
+    r = panes_to_x(sb, r3)[:lev.n]
+    rc = jax.ops.segment_sum(r, lev.agg, num_segments=lev.nc)
+    ec = _cycle(H, li + 1, rc)
+    e = ec[lev.agg]
+    u3 = u3 + x_to_panes(sb, jnp.pad(e, (0, npad - lev.n)))
+    u3 = _smooth(lev, u3, f3, H.post)
+    return panes_to_x(sb, u3)[:lev.n]
+
+
+def amg_vcycle(H: AMGHierarchy, b):
+    """One V-cycle from a zero initial guess: the SPD preconditioner
+    operator (symmetric pre/post Jacobi smoothing keeps M symmetric)."""
+    return _cycle(H, 0, b)
+
+
+def amg_pcg(H: AMGHierarchy, matvec, b, tol: float = 1e-6,
+            max_iter: int = 200):
+    """AMG-preconditioned CG on the SBELL fine operator.
+
+    matvec: the FINE-level operator (typically
+    `lambda v: sbell_spmv(H.levels[0].sbell, v)[:n]`); returns
+    (x, iters, res2) from ops/solver.py:pcg_op."""
+    from libhpc_tpu.ops.solver import pcg_op
+
+    return pcg_op(matvec, lambda r: amg_vcycle(H, r), b, tol=tol,
+                  max_iter=max_iter)

@@ -132,6 +132,41 @@ def pcg(matvec: Callable, diag, b, x0=None, tol: float = 1e-6,
     return x, it, rr
 
 
+@partial(jax.jit, static_argnames=("matvec", "minv", "max_iter"))
+def pcg_op(matvec: Callable, minv: Callable, b, x0=None, tol: float = 1e-6,
+           max_iter: int = 1000):
+    """CG with an arbitrary SPD preconditioner OPERATOR z = minv(r) —
+    the generalization of pcg's diagonal M (used with the AMG V-cycle,
+    ops/multigrid_sbell.py). Returns (x, iters, res2)."""
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - matvec(x0)
+    z0 = minv(r0)
+    rz0 = _sdot(r0, z0)
+    tol2 = jnp.asarray(tol, b.dtype) ** 2 * jnp.maximum(
+        _sdot(b, b), jnp.ones((), b.dtype)
+    )
+
+    def cond(s):
+        x, r, z, p, rz, rr, it = s
+        return (rr > tol2) & (it < max_iter)
+
+    def body(s):
+        x, r, z, p, rz, rr, it = s
+        Ap = matvec(p)
+        alpha = rz / _sdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = minv(r)
+        rz_new = _sdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new, _sdot(r, r), it + 1)
+
+    init = (x0, r0, z0, z0, rz0, _sdot(r0, r0),
+            jnp.zeros((), jnp.int32))
+    x, r, z, p, rz, rr, it = jax.lax.while_loop(cond, body, init)
+    return x, it, rr
+
+
 @partial(jax.jit, static_argnames=("matvec", "max_iter"))
 def bicgstab(matvec: Callable, b, x0=None, tol: float = 1e-6,
              max_iter: int = 1000):

@@ -83,8 +83,14 @@ def far_spmv(far, x):
     nbr = far.shape[0] // b
     xb = x.reshape(-1, b)
     g = xb[far.cols]                              # (nf, b) row-gather
+    # precision="highest": same reason as _far_grouped_from_gather — the
+    # MXU's default bf16 pass fails the 2e-3 gate, and this path is still
+    # reachable (grouped-fallback stripes, group_far=False dist shards)
+    # preferred f32: the bf16-value variant (SBELL.astype_values) must
+    # still accumulate in f32
     yb = jnp.einsum("nij,nj->ni", far.blocks, g,
-                    preferred_element_type=far.blocks.dtype)
+                    preferred_element_type=jnp.float32,
+                    precision="highest")
     out = jnp.zeros((nbr, b), yb.dtype).at[far.rows].add(yb)
     return out.reshape(-1)
 
@@ -115,10 +121,10 @@ def _far_grouped_from_gather(farg, g):
     # default bf16 pass loses ~4e-3 relative — enough to fail the 2e-3
     # correctness gate (measured device-vs-host err 0.018 on cant)
     prod = jnp.einsum("seij,sej->sei", farg.blocks, g,
-                      preferred_element_type=farg.blocks.dtype,
+                      preferred_element_type=jnp.float32,
                       precision="highest")
     out = jnp.einsum("sei,ser->sir", prod, farg.onehot,
-                     preferred_element_type=prod.dtype,
+                     preferred_element_type=jnp.float32,
                      precision="highest")
     return out.reshape(-1, farg.onehot.shape[-1])
 

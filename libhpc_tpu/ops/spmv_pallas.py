@@ -28,7 +28,7 @@ y = A @ x for an SBELL matrix (sparse/sbell.py, v4 row-slice layout):
 
 VMEM budget: 2x(TPB*65) KB value+meta stream + 4(n_panes+1) KB x +
 4*n_stripes KB y. Matrices whose x-panes + output exceed the VMEM cap
-(LIBHPC_SBELL_VMEM_CAP, default 12 MB — XLA's scoped-vmem kernel limit
+(LIBHPC_SBELL_VMEM_CAP, default 14 MB — XLA's scoped-vmem kernel limit
 is 16 MB, far below physical VMEM) are automatically row-chunked
 (VERDICT r2 #5): stripes are grouped so each group's pane window + output
 slice fit in VMEM, and one pallas_call runs per group (uniform shapes —
@@ -73,10 +73,12 @@ def _kernel(pane_ref, sid_ref, v_ref, m_ref, x_ref, o_ref):
             gx = jnp.where(sel, gw, gx)
 
         # products: pacc[i, slot] = sum_j V[8j+i, slot] * x_j[slot]
-        pacc = v_ref[base:base + B, :] * gx[0:1, :]
+        # (.astype: the bf16-value variant converts in-register and still
+        # accumulates f32 — the value stream is the only thing halved)
+        pacc = v_ref[base:base + B, :].astype(jnp.float32) * gx[0:1, :]
         for j in range(1, B):
             pacc = pacc + v_ref[base + B * j:base + B * (j + 1), :] \
-                * gx[j:j + 1, :]
+                .astype(jnp.float32) * gx[j:j + 1, :]
 
         # slot i == local block-row i: pacc IS the output block
         o_ref[pl.ds(sid * B, B), :] = o_ref[pl.ds(sid * B, B), :] + pacc
@@ -125,10 +127,10 @@ def _ranged_kernel(off_ref, slo_ref, plo_ref, pane_ref, sid_ref,
             gw = jnp.take_along_axis(xs[p + w], idx, axis=1)
             gx = jnp.where(sel, gw, gx)
         gx = gx * valid.astype(jnp.float32)
-        pacc = v_ref[base:base + B, :] * gx[0:1, :]
+        pacc = v_ref[base:base + B, :].astype(jnp.float32) * gx[0:1, :]
         for j in range(1, B):
             pacc = pacc + v_ref[base + B * j:base + B * (j + 1), :] \
-                * gx[j:j + 1, :]
+                .astype(jnp.float32) * gx[j:j + 1, :]
         o_ref[0, pl.ds(sid * B, B), :] = \
             o_ref[0, pl.ds(sid * B, B), :] + pacc
 
@@ -176,16 +178,40 @@ def _resident_bytes(n_stripes: int, n_panes: int) -> int:
     return ((n_panes + W_PANES - 1) * B * LANE + n_stripes * B * LANE) * 4
 
 
-def _chunk_plan(sb: SBELL):
+def _worst_chunk_bytes(sid_np, pane_np, n_stripes: int, spc: int):
+    """(worst-group VMEM bytes, worst group index) for stripe groups of
+    size spc: per-group pane window + double-buffered output slice."""
+    import numpy as np
+
+    n_grp = -(-n_stripes // spc)
+    worst, worst_g = 0, 0
+    for g in range(n_grp):
+        s_lo, s_hi = g * spc, min((g + 1) * spc, n_stripes)
+        sel = (sid_np >= s_lo) & (sid_np < s_hi)
+        if sel.any():
+            win = int(pane_np[sel].max() - pane_np[sel].min()) + W_PANES
+        else:
+            win = W_PANES
+        # the per-chunk output block double-buffers when its index
+        # changes across the chunk axis — budget it twice
+        need = (win + 2 * (spc + W_PANES - 1)) * B * LANE * 4
+        if need > worst:
+            worst, worst_g = need, g
+    return worst, worst_g
+
+
+def _chunk_plan(sb: SBELL, force_spc: int | None = None):
     """Host-side stripe grouping so each group fits VMEM_CAP (cached).
 
-    Returns (stripes_per_chunk, win_panes, chunks) where chunks is a tuple
-    of (t0, t1, stripe_lo, pane_lo) per group — uniform t1-t0 and window
-    width so every group reuses ONE compiled kernel."""
+    Returns (stripes_per_chunk, win_panes, gsteps, bounds) where bounds is
+    a tuple of (g0, stripe_lo, pane_lo) per group — uniform grid-step
+    count and window width so every group reuses ONE compiled kernel.
+    force_spc pins the stripes-per-chunk (the distributed builder needs a
+    uniform value across shards, parallel/dist_sbell.py)."""
     import numpy as np
 
     cached = getattr(sb, "_chunk_plan_cache", None)
-    if cached is not None:
+    if cached is not None and force_spc is None:
         return cached
     try:
         pane_np = np.asarray(sb.pane)
@@ -194,7 +220,8 @@ def _chunk_plan(sb: SBELL):
         raise ValueError(
             "sbell_spmv: matrix exceeds the VMEM budget "
             f"({VMEM_CAP} B) and the chunked fallback needs host-side "
-            "pane metadata — call it outside jit, or raise "
+            "pane metadata — call it outside jit (or pass a precomputed "
+            "chunk_plan, see _chunk_plan), or raise "
             "LIBHPC_SBELL_VMEM_CAP") from e
 
     # true tile count: real tiles are stripe-major (sid non-decreasing);
@@ -208,25 +235,27 @@ def _chunk_plan(sb: SBELL):
 
     # greedy stripe grouping: uniform stripe count chosen so the WORST
     # group's pane window + output slice fits the cap
-    spc = sb.n_stripes
-    while spc > 1:
-        n_grp = -(-sb.n_stripes // spc)
-        worst = 0
-        for g in range(n_grp):
-            s_lo, s_hi = g * spc, min((g + 1) * spc, sb.n_stripes)
-            sel = (sid_np >= s_lo) & (sid_np < s_hi)
-            if sel.any():
-                win = int(pane_np[sel].max() - pane_np[sel].min()) \
-                    + W_PANES
-            else:
-                win = W_PANES
-            # the per-chunk output block double-buffers when its index
-            # changes across the chunk axis — budget it twice
-            worst = max(worst, (win + 2 * (spc + W_PANES - 1))
-                        * B * LANE * 4)
-        if worst <= VMEM_CAP:
-            break
-        spc //= 2
+    if force_spc is not None:
+        spc = force_spc
+    else:
+        spc = sb.n_stripes
+        while True:
+            worst, worst_g = _worst_chunk_bytes(sid_np, pane_np,
+                                                sb.n_stripes, spc)
+            if worst <= VMEM_CAP:
+                break
+            if spc == 1:
+                # VERDICT r3 #7: a single stripe's pane window alone busts
+                # the cap — fail clearly instead of letting Mosaic die on
+                # an oversized scratch allocation downstream
+                raise ValueError(
+                    f"sbell_spmv: stripe {worst_g} alone needs {worst} B "
+                    f"of VMEM (pane window + output) but "
+                    f"LIBHPC_SBELL_VMEM_CAP is {VMEM_CAP} B; the matrix "
+                    "is too wide-scattered for the chunked near kernel — "
+                    "rebuild with a smaller W_PANES spread (more blocks "
+                    "route to the far path) or raise the cap")
+            spc //= 2
     n_grp = -(-sb.n_stripes // spc)
     G = sb.n_tiles // TPB
     win_panes = W_PANES
@@ -257,7 +286,8 @@ def _chunk_plan(sb: SBELL):
         g0 = min(max(t0 // TPB, 0), G - gsteps)
         bounds.append((g0, s_lo, p_lo))
     plan = (spc, win_panes, gsteps, tuple(bounds))
-    object.__setattr__(sb, "_chunk_plan_cache", plan)
+    if force_spc is None:
+        object.__setattr__(sb, "_chunk_plan_cache", plan)
     return plan
 
 
@@ -300,15 +330,22 @@ def _sbell_chunked(sb: SBELL, x3, plan=None):
     x3 arrives GUARDED; returns the guarded output shape like the
     resident path. Under jit, pass the host-computed plan explicitly (the
     per-object cache does not survive pytree reconstruction of traced
-    arguments)."""
+    arguments). The plan's bounds may be a host tuple of (g0, stripe_lo,
+    pane_lo) triples or an (n_chunks, 3) i32 array — the array form is
+    what the distributed path threads through shard_map (the plan's
+    STATIC fields stay uniform across shards; only bounds vary)."""
     spc, win, gsteps, bounds = plan if plan is not None \
         else _chunk_plan(sb)
     # pad so any win-wide window DMA is in bounds
     x3p = jnp.pad(x3, ((0, max(0, win - W_PANES + 1)), (0, 0), (0, 0)))
-    n_chunks = len(bounds)
-    off = jnp.asarray([b[0] for b in bounds], jnp.int32)
-    slo = jnp.asarray([b[1] for b in bounds], jnp.int32)
-    plo = jnp.asarray([b[2] for b in bounds], jnp.int32)
+    if isinstance(bounds, tuple):
+        n_chunks = len(bounds)
+        off = jnp.asarray([b[0] for b in bounds], jnp.int32)
+        slo = jnp.asarray([b[1] for b in bounds], jnp.int32)
+        plo = jnp.asarray([b[2] for b in bounds], jnp.int32)
+    else:
+        n_chunks = bounds.shape[0]
+        off, slo, plo = bounds[:, 0], bounds[:, 1], bounds[:, 2]
     out = _sbell_call_ranged(
         (off, slo, plo, sb.pane, sb.sid, sb.vflat, sb.meta, x3p),
         n_chunks, gsteps, spc, win)
@@ -369,22 +406,25 @@ def sbell_spmv_panes(sb: SBELL, x3: jax.Array, chunk_plan=None
     return out.reshape(sb.n_stripes + W_PANES - 1, B, LANE)
 
 
-def sbell_spmv_padded(sb: SBELL, xpad: jax.Array) -> jax.Array:
+def sbell_spmv_padded(sb: SBELL, xpad: jax.Array, chunk_plan=None
+                      ) -> jax.Array:
     """y = A @ x in the PADDED domain: xpad is (n_panes*1024,) f32 and the
     result has n_stripes*1024 entries (zero pad rows/cols are inert).
 
     Chained consumers that must stay FLAT skip the pad + slice ops of
     sbell_spmv; fully chained solvers should use sbell_spmv_panes, which
     also cancels the layout transposes."""
-    out3 = sbell_spmv_panes(sb, x_to_panes(sb, xpad))
+    out3 = sbell_spmv_panes(sb, x_to_panes(sb, xpad), chunk_plan)
     return panes_to_x(sb, out3)
 
 
-def sbell_spmv(sb: SBELL, x: jax.Array) -> jax.Array:
+def sbell_spmv(sb: SBELL, x: jax.Array, chunk_plan=None) -> jax.Array:
     """y = A @ x for SBELL A. x is f32 (ncols,); returns f32 (nrows,).
 
     Matrices past the VMEM budget are row-chunked transparently (module
-    docstring); the resident single-call path is unchanged below it."""
+    docstring); the resident single-call path is unchanged below it.
+    Callers that jit over a VMEM-busting matrix must pass a host-computed
+    chunk_plan (the distributed path does, parallel/dist_sbell.py)."""
     m, n = sb.shape
     xpad = jnp.pad(x, (0, sb.n_panes * PANE_COLS - n))
-    return sbell_spmv_padded(sb, xpad)[:m]
+    return sbell_spmv_padded(sb, xpad, chunk_plan)[:m]

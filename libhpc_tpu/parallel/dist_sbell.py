@@ -25,8 +25,39 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from libhpc_tpu.ops import spmv_pallas
 from libhpc_tpu.ops.spmv_pallas import sbell_spmv
-from libhpc_tpu.sparse.sbell import FarBlocks, SBELL, STRIPE_ROWS, VROWS
+from libhpc_tpu.sparse.sbell import FarBlocks, SBELL, STRIPE_ROWS, TPB, VROWS
+
+
+def _unified_chunk_plans(sbs, n_panes: int):
+    """Uniform-static VMEM chunk plans across shards (ADVICE r3: shards
+    past the VMEM budget must not hit the host-only _chunk_plan at trace
+    time inside shard_map).
+
+    Returns (static, bounds): static = (spc, win, gsteps) shared by every
+    shard (shard_map compiles ONE program), bounds = (S, n_chunks, 3) i32
+    per-shard (g0, stripe_lo, pane_lo) threaded through as a sharded
+    operand. (None, None) when the resident path fits."""
+    sl = sbs[0].n_stripes
+    if spmv_pallas._resident_bytes(sl, n_panes) <= spmv_pallas.VMEM_CAP:
+        return None, None
+    auto = [spmv_pallas._chunk_plan(sb) for sb in sbs]
+    # uniform stripes-per-chunk: the smallest any shard needs (smaller
+    # groups have <= pane windows, so forcing min is always VMEM-safe)
+    spc = min(p[0] for p in auto)
+    plans = [spmv_pallas._chunk_plan(sb, force_spc=spc) for sb in sbs]
+    win = max(p[1] for p in plans)
+    gsteps = max(p[2] for p in plans)
+    G = sbs[0].n_tiles // TPB
+    n_chunks = -(-sl // spc)
+    bounds = np.zeros((len(sbs), n_chunks, 3), np.int32)
+    for s, p in enumerate(plans):
+        for c, (g0, s_lo, p_lo) in enumerate(p[3]):
+            # re-clamp g0 for the unified (possibly larger) gsteps;
+            # extra walked tiles are predicated off in-kernel
+            bounds[s, c] = (min(g0, max(G - gsteps, 0)), s_lo, p_lo)
+    return (spc, win, gsteps), jnp.asarray(bounds)
 
 
 def _pad_sbell_tiles(sb: SBELL, n_tiles: int) -> SBELL:
@@ -83,10 +114,15 @@ class DistSBELL:
     far_rows: jax.Array      # (S, nf) far block-COO (zero-block padded)
     far_cols: jax.Array      # (S, nf)
     far_blocks: jax.Array    # (S, nf, 8, 8)
+    diag_bounds: jax.Array   # (S, n_chunks, 3) VMEM chunk bounds ((S,1,3)
+    offd_bounds: jax.Array   # zeros when the resident path fits)
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     stripes_local: int = dataclasses.field(metadata=dict(static=True))
     has_far: bool = dataclasses.field(metadata=dict(static=True))
+    # (spc, win, gsteps) chunk statics shared by all shards, or None
+    diag_chunk: tuple = dataclasses.field(metadata=dict(static=True))
+    offd_chunk: tuple = dataclasses.field(metadata=dict(static=True))
 
     @property
     def rows_local(self) -> int:
@@ -159,6 +195,17 @@ class DistSBELL:
                 nf_max = max(nf_max, merged.n_far)
         fars = [_pad_far(f, nf_max, (rows_local, nc)) for f in fars]
 
+        # VMEM chunk plans, host-computed ONCE here (shards past the VMEM
+        # budget would otherwise hit the host-only _chunk_plan inside the
+        # traced shard_map body and fail at trace time)
+        diag_chunk, diag_bounds = _unified_chunk_plans(
+            diags, rows_local // 1024)
+        offd_chunk, offd_bounds = _unified_chunk_plans(offds, nc // 1024)
+        if diag_bounds is None:
+            diag_bounds = jnp.zeros((n_shards, 1, 3), jnp.int32)
+        if offd_bounds is None:
+            offd_bounds = jnp.zeros((n_shards, 1, 3), jnp.int32)
+
         stack = lambda xs: jnp.stack(xs)
         return DistSBELL(
             diag_vflat=stack([sb.vflat for sb in diags]),
@@ -172,8 +219,10 @@ class DistSBELL:
             far_rows=stack([f.rows for f in fars]),
             far_cols=stack([f.cols for f in fars]),
             far_blocks=stack([f.blocks for f in fars]),
+            diag_bounds=diag_bounds, offd_bounds=offd_bounds,
             shape=(nr, nc), n_shards=n_shards,
             stripes_local=stripes_local, has_far=has_far,
+            diag_chunk=diag_chunk, offd_chunk=offd_chunk,
         )
 
     def shard(self, mesh: Mesh, axis: str = "x") -> "DistSBELL":
@@ -187,6 +236,8 @@ class DistSBELL:
             offd_pane=put(self.offd_pane), offd_sid=put(self.offd_sid),
             far_rows=put(self.far_rows), far_cols=put(self.far_cols),
             far_blocks=put(self.far_blocks),
+            diag_bounds=put(self.diag_bounds),
+            offd_bounds=put(self.offd_bounds),
         )
 
 
@@ -199,19 +250,21 @@ def dist_sbell_spmv_fn(A: DistSBELL, mesh: Mesh, axis: str = "x"):
     nr, nc = A.shape
     sl = A.stripes_local
 
-    def body(dv, dm, dp, ds, ov, om, op_, os_, fr, fc, fb, x):
+    def body(dv, dm, dp, ds, ov, om, op_, os_, fr, fc, fb, db, ob, x):
         x_l = x.reshape(-1)
         xg = lax.all_gather(x_l, axis, tiled=True)
         sb_d = SBELL(vflat=dv[0], meta=dm[0], pane=dp[0], sid=ds[0],
                      far=None,
                      shape=(rows_local, rows_local), n_stripes=sl,
                      n_panes=rows_local // 1024)
-        y = sbell_spmv(sb_d, x_l)
+        plan_d = None if A.diag_chunk is None else (*A.diag_chunk, db[0])
+        y = sbell_spmv(sb_d, x_l, plan_d)
         sb_o = SBELL(vflat=ov[0], meta=om[0], pane=op_[0], sid=os_[0],
                      far=None,
                      shape=(rows_local, nc), n_stripes=sl,
                      n_panes=nc // 1024)
-        y = y + sbell_spmv(sb_o, xg)
+        plan_o = None if A.offd_chunk is None else (*A.offd_chunk, ob[0])
+        y = y + sbell_spmv(sb_o, xg, plan_o)
         if A.has_far:
             from libhpc_tpu.ops.spmv import far_spmv
 
@@ -221,13 +274,14 @@ def dist_sbell_spmv_fn(A: DistSBELL, mesh: Mesh, axis: str = "x"):
         return y
 
     # check_vma=False: pallas_call out_shapes don't carry vma annotations
-    smapped = jax.shard_map(body, mesh=mesh, in_specs=(P(axis),) * 12,
+    smapped = jax.shard_map(body, mesh=mesh, in_specs=(P(axis),) * 14,
                             out_specs=P(axis), check_vma=False)
 
     @jax.jit
     def matvec(x):
         return smapped(A.diag_vflat, A.diag_meta, A.diag_pane, A.diag_sid,
                        A.offd_vflat, A.offd_meta, A.offd_pane, A.offd_sid,
-                       A.far_rows, A.far_cols, A.far_blocks, x)
+                       A.far_rows, A.far_cols, A.far_blocks,
+                       A.diag_bounds, A.offd_bounds, x)
 
     return matvec

@@ -87,7 +87,8 @@ class FarBlocks:
     def hbm_bytes(self) -> int:
         """Per-SpMV traffic: blocks + 2 index streams + gathered x rows +
         read-modify-write of the touched y rows."""
-        return (self.blocks.size * 4 + self.rows.size * 8
+        bsize = jnp.dtype(self.blocks.dtype).itemsize
+        return (self.blocks.size * bsize + self.rows.size * 8
                 + self.n_far * B * 4 + 3 * self.n_far * B * 4)
 
 
@@ -163,7 +164,8 @@ class FarGrouped:
     def hbm_bytes(self) -> int:
         """Per-SpMV traffic: blocks + cols + onehot + gathered x rows +
         the (S*B, LANE) output add. Padded sizes — that is what streams."""
-        return (self.blocks.size * 4 + self.cols.size * 4
+        bsize = jnp.dtype(self.blocks.dtype).itemsize
+        return (self.blocks.size * bsize + self.cols.size * 4
                 + self.onehot.size * 4 + self.cols.size * B * 4
                 + 2 * self.onehot.shape[0] * B * LANE * 4)
 
@@ -195,12 +197,30 @@ class SBELL:
     @property
     def hbm_bytes(self) -> int:
         """Bytes streamed per SpMV: near value+meta planes + the far
-        block-COO set's own traffic + x + y."""
+        block-COO set's own traffic + x + y. The value-plane term uses
+        the actual stored itemsize (2 for the bf16 variant)."""
         far = self.far.hbm_bytes if self.far is not None else 0
-        return (self.vflat.size * 4 + self.meta.size * 4
+        vsize = jnp.dtype(self.vflat.dtype).itemsize
+        return (self.vflat.size * vsize + self.meta.size * 4
                 + self.n_panes * PANE_COLS * 4
                 + self.n_stripes * STRIPE_ROWS * 4
                 + far)
+
+    def astype_values(self, dtype) -> "SBELL":
+        """Value-stream precision variant (ROADMAP #7): cast the stored
+        values — 80%+ of hbm_bytes on cant/pwtk — to `dtype` (bf16
+        halves the dominant HBM stream; the kernel and the far einsums
+        still accumulate in f32, so the result equals the bf16-QUANTIZED
+        operator applied in f32: error vs the f32 operator is bounded by
+        bf16's 2^-8 relative value rounding). Far blocks are cast too so
+        the quantization is uniform (testable against a quantized scipy
+        oracle); FarGrouped's one-hot slot matrix stays f32."""
+        far = self.far
+        if far is not None:
+            far = dataclasses.replace(far,
+                                      blocks=far.blocks.astype(dtype))
+        return dataclasses.replace(
+            self, vflat=self.vflat.astype(dtype), far=far)
 
     def fill_ratio(self, nnz: int) -> float:
         return self.nnz_stored / max(nnz, 1)

@@ -53,3 +53,37 @@ def test_dist_sbell_banded_mostly_near(mesh):
         far_blocks = int(dA.far_rows.shape[0] * dA.far_rows.shape[1])
         near_slots = int(dA.diag_vflat.size + dA.offd_vflat.size) // (64 * 128)
         assert far_blocks < 0.05 * near_slots + 8 * dA.n_shards
+
+
+def test_dist_sbell_chunked_shards(mesh, monkeypatch):
+    """ADVICE r3: shards whose resident x-panes + output exceed VMEM_CAP
+    must run through host-precomputed chunk plans (uniform statics,
+    per-shard bounds threaded through shard_map) — never hit the
+    host-only planner at trace time."""
+    from libhpc_tpu.ops import spmv_pallas
+
+    A = matrices.block_random(3000, block=8, blocks_per_row=6, seed=5)
+    # walk the cap down until the offd plan actually splits into multiple
+    # chunks (the exact threshold depends on the shards' pane windows);
+    # caps below every stripe's own window hit the single-stripe guard
+    dA = None
+    for cap in (68_000, 60_000, 52_000, 44_000):
+        monkeypatch.setattr(spmv_pallas, "VMEM_CAP", cap)
+        try:
+            cand = DistSBELL.from_scipy(A, 8)
+        except ValueError:
+            break
+        if cand.offd_chunk is not None:
+            dA = cand
+            if cand.offd_bounds.shape[1] > 1:
+                break
+    assert dA is not None and dA.offd_chunk is not None
+    assert dA.offd_bounds.shape[1] > 1
+    dA = dA.shard(mesh)
+    n = dA.shape[1]
+    x = np.linspace(-1.0, 1.0, n).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("x")))
+    y = np.asarray(dist_sbell_spmv_fn(dA, mesh)(xs))
+    expect = A @ x[:A.shape[1]]
+    np.testing.assert_allclose(y[:A.shape[0]], expect, rtol=1e-4,
+                               atol=1e-4)

@@ -107,13 +107,16 @@ def test_sbell_chunked_forced(monkeypatch):
     cap and check it matches the resident path and the scipy oracle."""
     from libhpc_tpu.ops import spmv_pallas
 
-    A = matrices.block_random(300, block=8, blocks_per_row=6, seed=5,
-                              half_band=8, far_fraction=0.02)
+    A = matrices.block_random(2000, block=8, blocks_per_row=6, seed=5,
+                              half_band=4, far_fraction=0.02)
     sb = SBELL.from_scipy(A)
     x = jnp.asarray(np.linspace(-1, 1, A.shape[1]).astype(np.float32))
     y_res = np.asarray(sbell_spmv(sb, x))
-    assert spmv_pallas._resident_bytes(sb.n_stripes, sb.n_panes) > 8192
-    monkeypatch.setattr(spmv_pallas, "VMEM_CAP", 8192)
+    # cap chosen above the single-stripe minimum (the spc=1 guard fires
+    # below ~45 KB for any matrix) but far below this matrix's resident
+    # footprint, so the plan must split into several chunks
+    assert spmv_pallas._resident_bytes(sb.n_stripes, sb.n_panes) > 60_000
+    monkeypatch.setattr(spmv_pallas, "VMEM_CAP", 60_000)
     sb2 = SBELL.from_scipy(A)   # fresh object (no cached plan)
     y_chk = np.asarray(sbell_spmv(sb2, x))
     np.testing.assert_allclose(y_chk, A @ np.asarray(x), rtol=1e-4,
@@ -201,3 +204,74 @@ def test_sbell_spmv_panes_chain():
     Ap = A.copy(); Ap.resize((sb.n_stripes * 1024, sb.n_panes * 1024))
     np.testing.assert_allclose(y2, (Ap @ (Ap @ xpad))[:m], rtol=1e-3,
                                atol=1e-4)
+
+
+def test_sbell_chunk_plan_single_stripe_guard(monkeypatch):
+    """VERDICT r3 #7: when even a single stripe's pane window busts the
+    VMEM cap, the chunk planner fails with a clear error naming the
+    stripe and the required bytes — never a raw Mosaic failure."""
+    from libhpc_tpu.ops import spmv_pallas
+
+    # one stripe (128 rows), 32 slices spaced ~40 panes apart: every
+    # slice keeps its 128-row column cluster (>= MIN_OCCUPANCY), so the
+    # stripe's tiles span ~1240 panes — wider than any spc can fix
+    rows = np.tile(np.arange(128), 32)
+    slice_id = np.repeat(np.arange(32), 128)
+    cols = slice_id * 40 * 1024 + (rows * 8) % 1024
+    A = sps.coo_matrix(
+        (np.ones(rows.size, np.float32), (rows, cols)),
+        shape=(128, int(cols.max()) + 1)).tocsr()
+    sb = SBELL.from_scipy(A)
+    assert sb.n_stripes == 1
+    monkeypatch.setattr(spmv_pallas, "VMEM_CAP", 4 * 1024 * 1024)
+    assert spmv_pallas._resident_bytes(sb.n_stripes, sb.n_panes) \
+        > spmv_pallas.VMEM_CAP
+    with pytest.raises(ValueError, match="stripe 0 alone needs"):
+        spmv_pallas._chunk_plan(sb)
+    # the public op surfaces the same clear error
+    x = jnp.zeros((A.shape[1],), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        sbell_spmv(sb, x)
+
+
+def test_sbell_bf16_values():
+    """bf16 value-stream variant (ROADMAP #7): matches the bf16-QUANTIZED
+    operator tightly (the kernel accumulates f32) and the f32 operator
+    within bf16's value-rounding bound."""
+    A = matrices.block_random(260, block=8, blocks_per_row=6, seed=21,
+                              half_band=5, far_fraction=0.05)
+    sb16 = SBELL.from_scipy(A).astype_values(jnp.bfloat16)
+    assert sb16.vflat.dtype == jnp.bfloat16
+    x = np.linspace(-1.0, 1.0, A.shape[1]).astype(np.float32)
+    y = np.asarray(sbell_spmv(sb16, jnp.asarray(x)))
+    # exact-layout oracle: the uniformly bf16-quantized operator applied
+    # in f32 — the kernel accumulates f32, so this matches tightly
+    Aq = A.copy()
+    Aq.data = np.asarray(
+        jnp.asarray(A.data).astype(jnp.bfloat16).astype(jnp.float32))
+    y_q = Aq @ x
+    y_f = A @ x
+    scale = np.max(np.abs(y_f)) + 1e-30
+    np.testing.assert_allclose(y, y_q, rtol=1e-4, atol=1e-4)
+    # vs the f32 operator: bounded by bf16's 2^-8 value rounding
+    assert np.max(np.abs(y - y_f)) / scale < 2e-2
+    # bf16 stream must be half the f32 stream on the value term
+    sb32 = SBELL.from_scipy(A)
+    assert sb16.hbm_bytes < sb32.hbm_bytes
+    assert sb16.vflat.size * 2 == sb16.vflat.size * sb16.vflat.dtype.itemsize
+
+
+def test_sbell_bf16_chunked(monkeypatch):
+    """bf16 variant through the row-chunked kernel path."""
+    from libhpc_tpu.ops import spmv_pallas
+
+    A = matrices.block_random(2000, block=8, blocks_per_row=6, seed=22,
+                              half_band=4, far_fraction=0.0)
+    monkeypatch.setattr(spmv_pallas, "VMEM_CAP", 60_000)
+    sb16 = SBELL.from_scipy(A).astype_values(jnp.bfloat16)
+    x = np.linspace(-1.0, 1.0, A.shape[1]).astype(np.float32)
+    y = np.asarray(sbell_spmv(sb16, jnp.asarray(x)))
+    Aq = A.copy()
+    Aq.data = np.asarray(
+        jnp.asarray(A.data).astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(y, Aq @ x, rtol=1e-4, atol=1e-4)
