@@ -7,13 +7,20 @@ structurally-matched synthetic stand-in) through the SBELL Pallas path —
 the actual ">=80% of HBM roofline on SuiteSparse matrices" target, not the
 best-format-on-Poisson dodge (VERDICT r1 weak #2).
 
-Integrity rules (VERDICT r1 #2):
+Integrity rules (VERDICT r1 #2, r3 weak #1):
   * every format's roofline fraction uses ITS OWN byte-traffic model
     (harness.format_spmv_bytes), so fractions are physically <= 1;
   * a reading the plausibility gate rejects is NEVER reported as a value —
-    retry() returns None and the path records an explicit error;
-  * the structured-Poisson DIA number is reported as a secondary field,
-    not the headline.
+    each path records an explicit error when no attempt survives;
+  * EVERY attempt pairs its own HBM speed-of-light probe with its own
+    kernel measurement (numerator and denominator share one relay
+    window), and the JSON reports the MEDIAN fraction alongside the best
+    — the r3 instrument saturated at 0.99 because a once-probed
+    denominator drifted +-8% under max-selection;
+  * ell_poisson is a designated NEGATIVE CONTROL (scalar-gather-bound by
+    design, PERF_NOTES r1) and is labeled as such in the JSON;
+  * the structured-Poisson DIA number is a secondary field, not the
+    headline.
 
 Timing methodology: in-program iteration with optimization barriers +
 scalar-probe fetch + large/small-M delta (libhpc_tpu/bench/harness.py) —
@@ -25,22 +32,25 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 import json
 import sys
+import time
+
+T0 = time.perf_counter()
+# skip the (expensive, secondary) scale section if the run is already
+# this old — the driver's timeout must never eat the headline JSON line
+SCALE_DEADLINE_S = float(__import__("os").environ.get(
+    "LIBHPC_BENCH_SCALE_DEADLINE", "1500"))
+
+
+def elapsed():
+    return time.perf_counter() - T0
 
 
 def retry(measure, plausible, attempts=4, key=None, key_cap=None):
     """Re-run a measurement around relay stalls and return the BEST
-    plausible reading (timing noise through the relay is one-sided: stalls
-    and contention only ever make a kernel look slower, never faster than
-    the hardware — measured cross-process drift up to 2.4x on the SBELL
-    path). Returns None if every attempt failed or was implausible — an
-    implausible reading is never surfaced as a result.
-
-    key_cap bounds the *selection* (not acceptance): max-selection over
-    noisy readings systematically picks the upper tail, so readings with
-    key(v) above the physical ceiling (e.g. roofline fraction 1.0) are
-    kept as valid but never preferred over sub-ceiling readings."""
-    best_sub = None   # max among readings at/below the cap
-    best_over = None  # fallback if every reading exceeds the cap
+    plausible reading (timing noise through the relay is one-sided).
+    Returns None if every attempt failed or was implausible."""
+    best_sub = None
+    best_over = None
     for _ in range(attempts):
         try:
             v = measure()
@@ -75,19 +85,32 @@ def main():
     from libhpc_tpu.ops.spmv_pallas import (sbell_spmv, sbell_spmv_panes,
                                             x_to_panes)
 
+    import os
+
+    matrices_source = "real" if os.environ.get("LIBHPC_MATRIX_DIR") and \
+        os.path.exists(os.path.join(
+            os.environ["LIBHPC_MATRIX_DIR"], "cant.mtx")) else "synthetic"
+
     # ---- workloads -------------------------------------------------------
-    # headline: unstructured FEM (cant-class); pwtk-class is the second
-    # BASELINE configs[1] matrix — measured as a first-class path, not a
-    # throwaway script (VERDICT r2 #2)
     A_u = matrices.load_or_synthesize("cant")
     sb = SBELL.from_scipy(A_u)
+    sb16 = sb.astype_values(jnp.bfloat16)
     x_u = jnp.asarray(np.linspace(-1.0, 1.0, A_u.shape[1], dtype=np.float32))
     y_u_ref = A_u @ np.asarray(x_u)
+    Aq = A_u.copy()
+    Aq.data = np.asarray(jnp.asarray(A_u.data).astype(
+        jnp.bfloat16).astype(jnp.float32))
+    y_u_qref = Aq @ np.asarray(x_u)
 
     A_p = matrices.load_or_synthesize("pwtk")
     sb_p = SBELL.from_scipy(A_p)
+    sb_p16 = sb_p.astype_values(jnp.bfloat16)
     x_p = jnp.asarray(np.linspace(-1.0, 1.0, A_p.shape[1], dtype=np.float32))
     y_p_ref = A_p @ np.asarray(x_p)
+    Aqp = A_p.copy()
+    Aqp.data = np.asarray(jnp.asarray(A_p.data).astype(
+        jnp.bfloat16).astype(jnp.float32))
+    y_p_qref = Aqp @ np.asarray(x_p)
 
     # secondary: structured Poisson 1024^2 (~1.05M rows, ~5.2M nnz)
     A_s = matrices.poisson2d(1024)
@@ -97,43 +120,72 @@ def main():
     x_s = jnp.asarray(np.linspace(-1.0, 1.0, A_s.shape[1], dtype=np.float32))
     y_s_ref = A_s @ np.asarray(x_s)
 
+    # SELL: the Pallas lane-gather ELL kernel (round 4 — retires the
+    # scalar-gather ell_poisson negative control for banded matrices)
+    from libhpc_tpu.ops.ell_pallas import sell_from_ell, sell_spmv
+
+    sell = sell_from_ell(ell)
+
     # ---- correctness gates before timing ---------------------------------
-    def close(y, ref):
-        return bool(np.allclose(np.asarray(y), ref, rtol=2e-3, atol=2e-3))
+    def close(y, ref, tol=2e-3):
+        return bool(np.allclose(np.asarray(y), ref, rtol=tol, atol=tol))
 
     ok_u = close(sbell_spmv(sb, x_u), y_u_ref)
     ok_p = close(sbell_spmv(sb_p, x_p), y_p_ref)
     ok_s = (close(spmv.dia_spmv(dia, x_s), y_s_ref)
             and close(spmv.ell_spmv(ell, x_s), y_s_ref))
+    ok_sell = close(sell_spmv(sell, x_s), y_s_ref)
+    # bf16 paths gate against the bf16-QUANTIZED operator (the kernel
+    # accumulates f32; values are rounded once at storage)
+    y16_u = sbell_spmv(sb16, x_u)
+    ok_u16 = close(y16_u, y_u_qref)
+    bf16_quant_relerr = float(
+        np.max(np.abs(np.asarray(y16_u) - y_u_ref))
+        / (np.max(np.abs(y_u_ref)) + 1e-30))
+    ok_p16 = close(sbell_spmv(sb_p16, x_p), y_p_qref)
 
-    hbm = retry(harness.measure_hbm_bandwidth,
-                lambda b: 2e11 < b < 1.2e12, key=lambda b: b)
-    # Never default silently (VERDICT r2 #9): if every probe failed, flag
-    # the substituted denominator in the output JSON.
-    hbm_defaulted = hbm is None
+    def probe_hbm():
+        return retry(harness.measure_hbm_bandwidth,
+                     lambda b: 2e11 < b < 1.2e12, attempts=2,
+                     key=lambda b: b)
+
+    hbm_fallback = probe_hbm()
+    hbm_defaulted = hbm_fallback is None
     if hbm_defaulted:
-        hbm = 6.0e11
+        hbm_fallback = 6.0e11
 
-    # ---- measured paths, each with its own byte model --------------------
-    def run(fn, x0, nnz, nrows, ncols, nbytes, iters):
-        return retry(
-            lambda: harness.bench_spmv_square(
-                fn, x0, nnz, nrows, ncols, hbm, iters=iters,
-                bytes_moved=nbytes),
-            # per-format byte models are physically attainable-at-most-1;
-            # leave 10% slack for measurement noise, reject stalls/hoists.
-            # key_cap=1.0: >1.0 readings stay accepted but are never
-            # preferred — max-selection must not surface the noise tail.
-            lambda r: 1e-4 < r["roofline_fraction"] < 1.10,
-            key=lambda r: r["roofline_fraction"], key_cap=1.0,
-        )
+    # ---- measured paths: per-attempt HBM pairing + median ---------------
+    def run_paired(fn, x0, nnz, nrows, ncols, nbytes, iters, attempts=5):
+        good = []
+        for _ in range(attempts):
+            try:
+                hbm_i = harness.measure_hbm_bandwidth()
+                if not (2e11 < hbm_i < 1.2e12):
+                    continue
+                r = harness.bench_spmv_square(
+                    fn, x0, nnz, nrows, ncols, hbm_i, iters=iters,
+                    bytes_moved=nbytes)
+            except Exception:  # noqa: BLE001
+                continue
+            if 1e-4 < r["roofline_fraction"] < 1.10:
+                r["hbm"] = hbm_i
+                good.append(r)
+        if not good:
+            return None
+        fr = sorted(g["roofline_fraction"] for g in good)
+        n = len(fr)
+        med = fr[n // 2] if n % 2 else 0.5 * (fr[n // 2 - 1] + fr[n // 2])
+        sub = [g for g in good if g["roofline_fraction"] <= 1.0]
+        best = dict(max(sub or good, key=lambda g: g["roofline_fraction"]))
+        best["median_fraction"] = med
+        best["n_attempts"] = n
+        return best
 
     mu, nu = A_u.shape
     mp_, np2 = A_p.shape
-    # timed in the pane-resident chained form (sbell_spmv_panes): the
-    # kernel's output layout IS the next x's pane layout, so the flat
-    # API's per-iteration transposes cancel — the form iterative solvers
-    # actually run. Correctness of the full flat path is gated above.
+    # timed in the pane-resident chained form (sbell_spmv_panes) — the
+    # form iterative solvers actually run; recorded as timed_form below
+    # (ADVICE r3). Correctness of the full flat path is gated above.
     xu3 = x_to_panes(sb, jnp.pad(x_u, (0, sb.n_panes * 1024 - nu)))
     xp3 = x_to_panes(sb_p, jnp.pad(x_p, (0, sb_p.n_panes * 1024 - np2)))
     paths = {
@@ -144,34 +196,138 @@ def main():
                        mp_, np2,
                        harness.format_spmv_bytes("sbell", sb_p, mp_, np2),
                        32),
+        "sbell_cant_bf16": (lambda x: sbell_spmv_panes(sb16, x), xu3,
+                            A_u.nnz, mu, nu,
+                            harness.format_spmv_bytes("sbell", sb16, mu,
+                                                      nu), 96),
+        "sbell_pwtk_bf16": (lambda x: sbell_spmv_panes(sb_p16, x), xp3,
+                            A_p.nnz, mp_, np2,
+                            harness.format_spmv_bytes("sbell", sb_p16,
+                                                      mp_, np2), 48),
         "dia_poisson": (lambda x: spmv.dia_spmv(dia, x), x_s, A_s.nnz,
                         *A_s.shape,
-                        harness.format_spmv_bytes("dia", dia, *A_s.shape), 32),
+                        harness.format_spmv_bytes("dia", dia, *A_s.shape),
+                        128),
+        "sell_poisson": (lambda x: sell_spmv(sell, x), x_s, A_s.nnz,
+                         *A_s.shape, sell.hbm_bytes, 64),
         "ell_poisson": (lambda x: spmv.ell_spmv(ell, x), x_s, A_s.nnz,
                         *A_s.shape,
                         harness.format_spmv_bytes("ell", ell, *A_s.shape), 8),
     }
     ok_by_path = {"sbell_cant": ok_u, "sbell_pwtk": ok_p,
-                  "dia_poisson": ok_s, "ell_poisson": ok_s}
+                  "sbell_cant_bf16": ok_u16, "sbell_pwtk_bf16": ok_p16,
+                  "dia_poisson": ok_s, "sell_poisson": ok_sell,
+                  "ell_poisson": ok_s}
     results = {}
     for name, args in paths.items():
         if not ok_by_path[name]:
             results[name] = dict(error="incorrect result",
                                  roofline_fraction=0.0, nnz_per_s=0.0)
             continue
-        r = run(*args)
+        # the negative control gets fewer attempts — it is slow by design
+        r = run_paired(*args, attempts=2 if name == "ell_poisson" else 5)
         results[name] = r if r is not None else dict(
             error="no plausible reading", roofline_fraction=0.0,
             nnz_per_s=0.0)
 
-    # ---- flagship sort secondary (the reference's published headline) ----
-    # 500M u32 end-to-end; on-device data (2 GB host->device through the
-    # relay would swamp the run). Wall-clock best-of-3: ~20 ms dispatch
-    # overhead is <5% at this size.
-    sort_g_per_s, sort_ms, sort_ok = 0.0, None, False
+    # ---- configs[2]: SpMM + CG on the same matrices (gated) --------------
+    spmm_cg = {}
     try:
-        import time
+        from libhpc_tpu.ops.spmm import bsr_spmm
+        from libhpc_tpu.ops import solver
+        from libhpc_tpu.sparse import BSR
 
+        K = 64
+        rng = np.random.default_rng(7)
+        bsr = BSR.from_scipy(A_u, block=8)
+        Xu = jnp.asarray(
+            rng.standard_normal((bsr.shape[1], K)).astype(np.float32))
+        Aup = A_u.copy()
+        Aup.resize(bsr.shape)
+        okm = np.allclose(np.asarray(bsr_spmm(bsr, Xu)),
+                          Aup @ np.asarray(Xu), rtol=2e-3, atol=2e-3)
+        if okm:
+            per = retry(lambda: harness.time_iterated(
+                lambda v: bsr_spmm(bsr, v) * 1e-2, Xu, iters=16,
+                iters_small=2), lambda p: p > 2e-7)
+            if per:
+                spmm_cg["spmm_bsr_cant_k64"] = dict(
+                    ms=round(per * 1e3, 3),
+                    gflops=round(2 * A_u.nnz * K / per / 1e9, 1),
+                    correct=True)
+        else:
+            spmm_cg["spmm_bsr_cant_k64"] = dict(error="incorrect result")
+
+        # CG-loop workload: 32 fixed iterations in the pane-resident
+        # layout (gate: one pane matvec vs scipy — cant is not SPD, so
+        # this is the solver-loop *throughput* workload)
+        from libhpc_tpu.ops.spmv_pallas import panes_to_x
+
+        n_it = 32
+        bu = x_to_panes(sb, jnp.ones((sb.n_panes * 1024,), jnp.float32))
+        y_pane = panes_to_x(sb, sbell_spmv_panes(sb, bu))[:mu]
+        okc = np.allclose(np.asarray(y_pane),
+                          A_u @ np.ones(nu, np.float32), rtol=2e-3,
+                          atol=2e-3)
+        if okc:
+            def cg_step(v):
+                x, _, _ = solver.cg(lambda u: sbell_spmv_panes(sb, u), v,
+                                    tol=0.0, max_iter=n_it)
+                return v + x * 1e-30
+
+            per = retry(lambda: harness.time_iterated(
+                cg_step, bu, iters=4, iters_small=1),
+                lambda p: p > 2e-7)
+            if per:
+                spmm_cg["cg_sbell_cant_32it"] = dict(
+                    ms=round(per * 1e3, 3),
+                    iters_per_s=round(n_it / per, 1),
+                    gnnz_per_s=round(n_it * A_u.nnz / per / 1e9, 2),
+                    correct=True)
+        else:
+            spmm_cg["cg_sbell_cant_32it"] = dict(error="incorrect result")
+
+        # DIA-Poisson CG (the structured-solver pairing)
+        xs_, _, _ = solver.cg(lambda u: spmv.dia_spmv(dia, u),
+                              jnp.ones((A_s.shape[0],), jnp.float32),
+                              tol=0.0, max_iter=n_it)
+        r_ = np.ones(A_s.shape[0]) - A_s @ np.asarray(xs_, np.float64)
+        # 32 unpreconditioned CG iters on the kappa~4e5 Poisson-1024^2
+        # system only shave ~10% off the residual (sqrt-kappa rate) —
+        # the gate checks finite monotone progress, not convergence
+        okp = np.isfinite(r_).all() and np.linalg.norm(r_) < 0.995 * np.sqrt(
+            A_s.shape[0])
+        if okp:
+            def cgp(v):
+                x, _, _ = solver.cg(lambda u: spmv.dia_spmv(dia, u), v,
+                                    tol=0.0, max_iter=n_it)
+                return v + x * 1e-30
+
+            per = retry(lambda: harness.time_iterated(
+                cgp, jnp.ones((A_s.shape[0],), jnp.float32), iters=4,
+                iters_small=1), lambda p: p > 2e-7)
+            if per:
+                spmm_cg["cg_dia_poisson1024_32it"] = dict(
+                    ms=round(per * 1e3, 3),
+                    iters_per_s=round(n_it / per, 1),
+                    gnnz_per_s=round(n_it * A_s.nnz / per / 1e9, 2),
+                    correct=True)
+        else:
+            spmm_cg["cg_dia_poisson1024_32it"] = dict(
+                error="incorrect result")
+    except Exception as e:  # noqa: BLE001
+        spmm_cg["error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # free the Poisson/pwtk things the scale section doesn't need
+    del ell, csr
+
+    # ---- flagship sort (the reference's published headline) --------------
+    # 500M u32 end-to-end; on-device data. Wall-clock best-of-3 PLUS the
+    # in-program delta device time (VERDICT r3 #1: the number that
+    # separates device compute from the ~20-25 ms relay dispatch).
+    sort_g_per_s, sort_ms, sort_ok = 0.0, None, False
+    sort_dev_ms, sort_dev_g = None, None
+    try:
         from libhpc_tpu.ops.sort_pallas import merge_sort_u32
 
         n_sort = 500_000_000
@@ -183,8 +339,7 @@ def main():
         si = jax.lax.bitcast_convert_type(out, jnp.int32) ^ jnp.int32(
             -(2 ** 31))
         # checksum in uint32 halves (no x64 on this rig): sum of low and
-        # high 16-bit halves separately — exact mod 2^32 per half, i.e.
-        # a multiset check far stronger than one truncated uint sum
+        # high 16-bit halves separately — exact mod 2^32 per half
         def _csum(v):
             return (jnp.sum(v & jnp.uint32(0xFFFF)),
                     jnp.sum(v >> jnp.uint32(16)))
@@ -200,13 +355,118 @@ def main():
         if sort_ok and 0.1 < best < 10.0:
             sort_ms = round(best * 1e3, 1)
             sort_g_per_s = round(n_sort / best / 1e9, 3)
+        # in-program device time: the comparison network is data-oblivious
+        # (same stage count on sorted input), so chaining sort(sort(x))
+        # through the fori_loop carry measures true per-sort device time
+        if sort_ok:
+            per = retry(lambda: harness.time_iterated(
+                merge_sort_u32, xs, iters=3, iters_small=1, reps=2),
+                lambda p: 0.05 < p < 10.0)
+            if per:
+                sort_dev_ms = round(per * 1e3, 1)
+                sort_dev_g = round(n_sort / per / 1e9, 3)
+        del xs
     except Exception:  # noqa: BLE001 — secondary metric must never kill bench
         pass
+
+    # ---- configs[4] scale: 100M-nnz chunked SpMV + 10M-nnz SpGEMM --------
+    scale = {}
+    try:
+        if elapsed() < SCALE_DEADLINE_S:
+            from functools import partial
+            from libhpc_tpu.ops import spmv_pallas
+
+            A_b = matrices.block_random_fast(
+                260_000, blocks_per_row=8, half_band=6,
+                far_fraction=0.01, seed=3)
+            mb, nb = A_b.shape
+            sb_b = SBELL.from_scipy(A_b)
+            resident = spmv_pallas._resident_bytes(sb_b.n_stripes,
+                                                   sb_b.n_panes)
+            chunked = resident > spmv_pallas.VMEM_CAP
+            plan = spmv_pallas._chunk_plan(sb_b) if chunked else None
+            x_b = jnp.asarray(np.linspace(-1, 1, nb).astype(np.float32))
+            y_b = np.asarray(spmv_pallas.sbell_spmv(sb_b, x_b))
+            ok_b = np.allclose(y_b, A_b @ np.asarray(x_b), rtol=2e-3,
+                               atol=2e-3)
+            if ok_b:
+                x3_b = x_to_panes(sb_b, jnp.pad(
+                    x_b, (0, sb_b.n_panes * 1024 - nb)))
+
+                # sb as a JIT ARGUMENT — closing over 400 MB of matrix
+                # embeds it in the remote compile payload (HTTP 413)
+                @partial(jax.jit, static_argnums=(2,))
+                def runner(sbv, x3v, iters):
+                    def body(_, v):
+                        return jax.tree_util.tree_map(
+                            jax.lax.optimization_barrier,
+                            sbell_spmv_panes(sbv, v, chunk_plan=plan))
+                    return jnp.sum(jax.lax.fori_loop(0, iters, body, x3v))
+
+                def fetch(it):
+                    return float(runner(sb_b, x3_b, it))
+
+                def tmin(it, reps=3):
+                    best = float("inf")
+                    for _ in range(reps):
+                        t1 = time.perf_counter()
+                        fetch(it)
+                        best = min(best, time.perf_counter() - t1)
+                    return best
+
+                hbm_i = harness.measure_hbm_bandwidth()
+                fetch(2)
+                fetch(12)
+                per = max((tmin(12) - tmin(2)) / 10, 1e-9)
+                nbytes = harness.format_spmv_bytes("sbell", sb_b, mb, nb)
+                scale["sbell_100m"] = dict(
+                    nnz_m=round(A_b.nnz / 1e6, 1),
+                    ms=round(per * 1e3, 2),
+                    gnnz_per_s=round(A_b.nnz / per / 1e9, 2),
+                    own_bytes_fraction=round(nbytes / per / hbm_i, 4),
+                    chunked=chunked,
+                    n_chunks=len(plan[3]) if chunked else 1,
+                    resident_mb=round(resident / 1e6, 1), correct=True)
+            else:
+                scale["sbell_100m"] = dict(error="incorrect result")
+            del A_b, sb_b
+        else:
+            scale["sbell_100m"] = dict(skipped_for_time=True)
+    except Exception as e:  # noqa: BLE001
+        scale["sbell_100m"] = dict(error=f"{type(e).__name__}: {e}"[:200])
+    try:
+        if elapsed() < SCALE_DEADLINE_S:
+            from libhpc_tpu.ops.spgemm import spgemm_windowed
+
+            Ac = CSR.from_scipy(A_p)
+            lenB = np.diff(A_p.indptr).astype(np.int64)
+            S = int(lenB[A_p.indices].sum())
+            t0 = time.perf_counter()
+            C = spgemm_windowed(Ac, Ac, window=1 << 22)
+            jax.block_until_ready(C.data)
+            t_gemm = time.perf_counter() - t0
+            Cref = (A_p @ A_p).tocsr()
+            Cref.sort_indices()
+            got = C.to_scipy().tocsr()
+            got.sort_indices()
+            ok_g = got.nnz == Cref.nnz and abs(got - Cref).max() < 1e-2
+            if ok_g:
+                scale["spgemm_pwtk_10m"] = dict(
+                    seconds=round(t_gemm, 2),
+                    g_products_per_s=round(S / t_gemm / 1e9, 3),
+                    expansion_m=round(S / 1e6, 1),
+                    nnz_c_m=round(Cref.nnz / 1e6, 1), correct=True)
+            else:
+                scale["spgemm_pwtk_10m"] = dict(error="incorrect result")
+        else:
+            scale["spgemm_pwtk_10m"] = dict(skipped_for_time=True)
+    except Exception as e:  # noqa: BLE001
+        scale["spgemm_pwtk_10m"] = dict(error=f"{type(e).__name__}: {e}"[:200])
 
     head = results["sbell_cant"]
     frac = head["roofline_fraction"] if ok_u else 0.0
     csr_bytes = harness.spmv_bytes(A_u.nnz, mu, nu)
-    csr_equiv = (csr_bytes / head["seconds"] / hbm
+    csr_equiv = (csr_bytes / head["seconds"] / head["hbm"]
                  if "seconds" in head and ok_u else 0.0)
     print(json.dumps({
         "metric": "unstructured_spmv_roofline_fraction",
@@ -214,19 +474,31 @@ def main():
         "unit": "fraction_of_measured_hbm_speed_of_light_own_bytes",
         "vs_baseline": round(frac / 0.80, 4),
         "correct": {"sbell_cant": ok_u, "sbell_pwtk": ok_p,
-                    "poisson": ok_s},
+                    "sbell_bf16": ok_u16 and ok_p16, "poisson": ok_s},
         "gnnz_per_s": round(head.get("nnz_per_s", 0.0) / 1e9, 3),
         "csr_byte_model_fraction": round(csr_equiv, 4),
-        "hbm_gb_per_s": round(hbm / 1e9, 1),
+        "hbm_gb_per_s": round((head.get("hbm", hbm_fallback)) / 1e9, 1),
         "hbm_defaulted": hbm_defaulted,
+        "hbm_per_attempt": True,
+        "timed_form": "panes",
+        "matrices": matrices_source,
+        "negative_controls": ["ell_poisson"],
+        "bf16_quant_relerr_cant": round(bf16_quant_relerr, 5),
         "fractions": {k: (round(v["roofline_fraction"], 4)
                           if "error" not in v else v["error"])
                       for k, v in results.items()},
+        "fractions_median": {k: round(v.get("median_fraction", 0.0), 4)
+                             for k, v in results.items()},
         "gnnz": {k: round(v.get("nnz_per_s", 0.0) / 1e9, 3)
                  for k, v in results.items()},
+        "spmm_cg": spmm_cg,
+        "scale": scale,
         "sort_500m_u32": {"ok": sort_ok, "ms": sort_ms,
                           "g_elem_per_s": sort_g_per_s,
+                          "device_ms": sort_dev_ms,
+                          "device_g_elem_per_s": sort_dev_g,
                           "reference_3080ti": 1.39},
+        "elapsed_s": round(elapsed(), 1),
         "platform": jax.devices()[0].platform,
     }))
 

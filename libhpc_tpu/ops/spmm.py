@@ -30,8 +30,13 @@ def ell_spmm(ell, B):
     MXU can tile when c ≥ 64.
     """
     gB = B[ell.cols]                         # (m, k, c)
+    # precision="highest": the MXU's default bf16 pass loses ~1e-2 rel on
+    # standard-normal data — fails the 2e-3 correctness gate (same fix as
+    # the SBELL far path, ops/spmv.py). These ops are gather/bandwidth
+    # bound, so the extra MXU passes are free.
     return jnp.einsum(
-        "mk,mkc->mc", ell.vals, gB, preferred_element_type=ell.vals.dtype
+        "mk,mkc->mc", ell.vals, gB, preferred_element_type=ell.vals.dtype,
+        precision="highest",
     )
 
 
@@ -49,6 +54,7 @@ def bsr_spmm(bsr, B):
     prod = jnp.einsum(
         "nij,njc->nic", bsr.blocks, gB,
         preferred_element_type=bsr.blocks.dtype,
+        precision="highest",
     )
     Yb = jax.ops.segment_sum(
         prod, bsr.block_row_of_block(), num_segments=bsr.n_block_rows

@@ -48,9 +48,11 @@ LANE = 128         # slots per tile = local block-rows per stripe
 STRIPE_ROWS = B * LANE      # 1024 scalar rows per stripe
 PANE_COLS = B * LANE        # 1024 scalar cols per x pane
 VROWS = B * B      # 64 value rows per tile (meta rides separately)
-TPB = 16           # tiles per kernel grid step (v5e sweep: 16 beats 8 by
-                   # 30% — 45 vs 64 ns/tile — and 32 regresses;
-                   # scripts/exp_sbell_attrib.py TPB sweep, round 3)
+TPB = int(__import__("os").environ.get("LIBHPC_SBELL_TPB", "16"))
+                   # tiles per kernel grid step (v5e sweep: 16 beats 8 by
+                   # 30% — 45 vs 64 ns/tile — and 32 regresses for f32;
+                   # scripts/exp_sbell_attrib.py TPB sweep, round 3; env
+                   # knob for the bf16 sweep, round 4)
 W_PANES = 3        # x panes a tile may span (static gather passes): a
                    # slice of 128 consecutive block-rows spans ~128+band
                    # block-cols, which can straddle two pane boundaries

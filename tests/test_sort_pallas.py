@@ -76,11 +76,11 @@ def test_default_tuning_small(rng):
 
 @pytest.mark.parametrize("n", [
     5120,   # 4096+1024: exactly two segments (C=1024)
-    5137,   # two segments + tail padding
-    9216,   # 8192+1024
-    9300,   # 8192+1024 with padding in the tail segment
-    11264,  # 8192+2048+1024: three segments
-    11300,  # three segments + padding
+    pytest.param(5137, marks=pytest.mark.slow),  # two segments + tail pad
+    pytest.param(9216, marks=pytest.mark.slow),  # 8192+1024
+    pytest.param(9300, marks=pytest.mark.slow),  # + tail-segment padding
+    pytest.param(11264, marks=pytest.mark.slow),  # three segments
+    11300,  # three segments + padding (keeps one 3-seg case in fast tier)
 ])
 def test_segmented_sizes(rng, n):
     _check(rng.integers(0, 2**32, size=n, dtype=np.uint32))

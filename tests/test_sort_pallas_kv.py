@@ -16,8 +16,13 @@ def _check_argsort(x):
     assert np.unique(order).size == x.size
 
 
-@pytest.mark.parametrize("n", [1, 111, 512, 1024, 3987, 4096,
-                               5120, 11300])
+_slow = pytest.mark.slow
+
+@pytest.mark.parametrize("n", [
+    1, 111, 512,
+    pytest.param(1024, marks=_slow), pytest.param(3987, marks=_slow),
+    pytest.param(4096, marks=_slow), pytest.param(5120, marks=_slow),
+    pytest.param(11300, marks=_slow)])
 def test_argsort_sizes(rng, n):
     _check_argsort(rng.integers(0, 2**32, size=n, dtype=np.uint32))
 
@@ -29,6 +34,7 @@ def test_argsort_duplicate_keys(rng):
     _check_argsort(x)
 
 
+@pytest.mark.slow
 def test_sort_kv_f32_payload(rng):
     n = 3 * 1024 + 17
     k = rng.integers(0, 2**32, size=n, dtype=np.uint32)
@@ -42,6 +48,7 @@ def test_sort_kv_f32_payload(rng):
         np.testing.assert_array_equal(vs, v[order])
 
 
+@pytest.mark.slow
 def test_argsort_all_equal():
     x = np.full(2048, 42, np.uint32)
     s, order = merge_argsort_u32(x, log2c=LOG2C, log2w=LOG2W)

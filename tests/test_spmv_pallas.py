@@ -126,6 +126,7 @@ def test_sbell_chunked_forced(monkeypatch):
     assert len(bounds) > 1      # actually chunked
 
 
+@pytest.mark.slow
 def test_sbell_chunked_2m_cols(monkeypatch):
     """>2M columns through the guard (the former scale cliff): a banded
     block matrix at 2.1M rows/cols, modest cap so the pane+output budget
