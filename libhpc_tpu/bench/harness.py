@@ -74,11 +74,57 @@ def time_iterated(step_fn, x0, iters: int = 32, iters_small: int = 4,
 
 
 def measure_hbm_bandwidth(nbytes: int = 1 << 27, dtype=jnp.float32) -> float:
-    """Empirical HBM speed-of-light: bytes/s of x *= c streaming passes."""
+    """Empirical HBM speed-of-light: bytes/s of x *= c streaming passes
+    (counts read + write traffic of a 50/50 mix)."""
     n = nbytes // jnp.dtype(dtype).itemsize
     x = jnp.full((n,), 1.0, dtype)
     per = time_iterated(lambda v: v * 1.0000001, x, iters=36, iters_small=4)
     return 2 * nbytes / per
+
+
+def measure_hbm_read_bandwidth(nbytes: int = 1 << 29,
+                               dtype=jnp.float32) -> float:
+    """Read-only HBM speed-of-light: bytes/s of fused multiply-reduce
+    passes (the reduction fuses the scale, so nothing is written back).
+
+    Needed because read-only streams run faster than the 50/50 probe —
+    and the SBELL value stream is ~90% pure read, so its own-bytes
+    fraction against the 50/50 probe can legitimately exceed 1.0 (seen
+    in round 4: 1.07 with a probe that read 8% under the kernel's
+    demonstrated stream rate). The speed-of-light denominator should be
+    the max over both probes."""
+    n = nbytes // jnp.dtype(dtype).itemsize
+    x = jnp.full((n,), 1.0, dtype)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def runner(x, m):
+        def body(i, acc):
+            # iteration-dependent MAX (not a multiply: XLA factors
+            # sum(x*c) into c*sum(x) and hoists the whole read — measured
+            # 1094 GB/s, past the physical 819); max fuses into the
+            # reduce (no temp written) and cannot be factored out
+            return acc + jnp.sum(
+                jnp.maximum(x, 1e-9 * i.astype(jnp.float32)))
+        return jax.lax.fori_loop(0, m, body, jnp.zeros((), jnp.float32))
+
+    def fetch(m):
+        return float(runner(x, m))
+
+    # default 512 MB: the array must NOT fit v5e's 128 MB VMEM, or the
+    # loop re-reads it from VMEM and reports >1 TB/s (measured)
+    fetch(2)
+    fetch(12)
+
+    def tmin(m, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fetch(m)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = max((tmin(12) - tmin(2)) / 10, 1e-9)
+    return nbytes / per
 
 
 def spmv_bytes(nnz: int, nrows: int, ncols: int, dtype_size: int = 4,
@@ -109,6 +155,40 @@ def format_spmv_bytes(fmt, obj, nrows: int, ncols: int) -> int:
     if fmt == "sbell":
         return obj.hbm_bytes
     raise KeyError(fmt)
+
+
+def format_spmv_rw_bytes(fmt, obj, nrows: int, ncols: int):
+    """(read_bytes, write_bytes) split of format_spmv_bytes.
+
+    Needed for the mixed speed-of-light: SpMV traffic is read-dominated
+    (matrix + x read, only y written), and read-only HBM streams run
+    ~10-15% faster than the 50/50 probe — judging a 95%-read kernel
+    against the 50/50 number produced fractions > 1 (round 4)."""
+    total = format_spmv_bytes(fmt, obj, nrows, ncols)
+    if fmt == "sbell":
+        wr = obj.n_stripes * 1024 * 4
+        far = getattr(obj, "far", None)
+        if far is not None:
+            if hasattr(far, "onehot"):   # FarGrouped: guarded output add
+                wr += far.onehot.shape[0] * 8 * 128 * 4
+            else:                        # FarBlocks: touched y rows rmw
+                wr += far.n_far * 8 * 4
+    else:
+        wr = nrows * 4
+    return total - wr, wr
+
+
+def mixed_speed_of_light(bw_read: float, bw_rw: float, rd_bytes: int,
+                         wr_bytes: int) -> float:
+    """Speed-of-light (bytes/s) for a stream with the given read/write
+    byte mix, from the two probes: per-byte read cost a = 1/bw_read,
+    write cost b = 2/bw_rw - a (the 50/50 probe spends a+b per 2 bytes)."""
+    a = 1.0 / bw_read
+    b = max(2.0 / bw_rw - a, a * 0.5)
+    total = rd_bytes + wr_bytes
+    fr = rd_bytes / total
+    fw = wr_bytes / total
+    return 1.0 / (fr * a + fw * b)
 
 
 @dataclass

@@ -157,7 +157,11 @@ def dia_spmv(dia, x):
 
     Each static diagonal offset o contributes
       y[j - o] += data[d, j] * x[j]   for valid columns j
-    which is a pair of static slices: pure streaming, no index traffic.
+    expressed as PAD + ADD of the sliced products (not `.at[].add`):
+    dynamic-update-slice chains make XLA re-read and re-write the full y
+    per diagonal — measured 5x traffic, ~380 GB/s achieved vs the
+    ~30 MB single-pass model on Poisson-1024² (round 4). Pad+add fuses
+    into one elementwise pass.
     """
     _guard_dia(dia)
     m, n = dia.shape
@@ -169,7 +173,7 @@ def dia_spmv(dia, x):
         if j1 <= j0:
             continue
         contrib = dia.data[d, j0:j1] * x[j0:j1]
-        y = y.at[j0 - o : j1 - o].add(contrib)
+        y = y + jnp.pad(contrib, (j0 - o, m - (j1 - o)))
     return y
 
 
@@ -185,7 +189,8 @@ def csr_spmv_t(csr, y):
 @jax.jit
 def dia_spmv_t(dia, y):
     """x = A^T @ y for DIA A: the transpose of a diagonal matrix is the
-    diagonal set negated — same zero-gather streaming structure."""
+    diagonal set negated — same zero-gather streaming structure (pad+add
+    form for single-pass fusion, see dia_spmv)."""
     _guard_dia(dia)
     m, n = dia.shape
     x = jnp.zeros((n,), dia.data.dtype)
@@ -194,7 +199,8 @@ def dia_spmv_t(dia, y):
         j1 = min(n, m + o)
         if j1 <= j0:
             continue
-        x = x.at[j0:j1].add(dia.data[d, j0:j1] * y[j0 - o : j1 - o])
+        x = x + jnp.pad(dia.data[d, j0:j1] * y[j0 - o : j1 - o],
+                        (j0, n - j1))
     return x
 
 

@@ -1,0 +1,53 @@
+"""Pallas DIA SpMV tests — scipy oracles, offset/size edge sweep."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import jax.numpy as jnp
+
+from libhpc_tpu.bench import matrices
+from libhpc_tpu.ops.dia_pallas import DiaPallas, dia_spmv_pallas
+from libhpc_tpu.sparse import DIA
+
+
+def _check(A, T=1 << 13, rtol=1e-4, atol=1e-4):
+    dia = DIA.from_scipy(A)
+    dp = DiaPallas.from_dia(dia, T=T)
+    x = np.linspace(-1.0, 1.0, A.shape[1]).astype(np.float32)
+    y = np.asarray(dia_spmv_pallas(dp, jnp.asarray(x)))
+    np.testing.assert_allclose(y, A @ x, rtol=rtol, atol=atol)
+    return dp
+
+
+@pytest.mark.parametrize("n", [1000, 8192, 9000, 40000])
+def test_dia_pallas_banded(n):
+    A = sps.diags(
+        [np.full(n - abs(o), 1.0 + o) for o in (-70, -1, 0, 1, 65)],
+        [-70, -1, 0, 1, 65], shape=(n, n), format="csr",
+        dtype=np.float32)
+    _check(A)
+
+
+def test_dia_pallas_poisson():
+    _check(matrices.poisson2d(96))     # +-96 offsets: multi-row shifts
+
+
+def test_dia_pallas_wide_offsets():
+    n = 50000
+    A = sps.diags([np.ones(n - 9000), np.ones(n), np.ones(n - 12288)],
+                  [-9000, 0, 12288], shape=(n, n), format="csr",
+                  dtype=np.float32)
+    _check(A)
+
+
+def test_dia_pallas_multi_tile():
+    # several tiles with lane-unaligned offsets crossing tile seams
+    _check(matrices.poisson2d(128), T=1 << 13)
+
+
+def test_dia_pallas_rect():
+    m, n = 5000, 7000
+    A = sps.diags([np.ones(5000), np.ones(5000)], [0, 1500],
+                  shape=(m, n), format="csr", dtype=np.float32)
+    _check(A)
