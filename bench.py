@@ -144,42 +144,43 @@ def main():
         / (np.max(np.abs(y_u_ref)) + 1e-30))
     ok_p16 = close(sbell_spmv(sb_p16, x_p), y_p_qref)
 
-    def probe_hbm():
-        return retry(harness.measure_hbm_bandwidth,
-                     lambda b: 2e11 < b < 1.2e12, attempts=2,
-                     key=lambda b: b)
+    # ---- speed-of-light probes ------------------------------------------
+    # stream-mul (50/50 r+w) probes run per attempt; the run-level MAX is
+    # the demonstrated r+w rate (stalls only slow probes). The read-only
+    # probe (3x median) anchors the read cost — SpMV streams are
+    # read-dominated and fractions against the 50/50 number exceeded 1.0
+    # in round 4 (PERF_NOTES).
+    probes_rw = []
+    for _ in range(2):
+        try:
+            b = harness.measure_hbm_bandwidth()
+            if 2e11 < b < 1.2e12:
+                probes_rw.append(b)
+        except Exception:  # noqa: BLE001
+            pass
+    reads = []
+    for _ in range(3):
+        try:
+            b = harness.measure_hbm_read_bandwidth()
+            if 2e11 < b < 1.2e12:
+                reads.append(b)
+        except Exception:  # noqa: BLE001
+            pass
+    hbm_defaulted = not probes_rw
+    bw_read_med = sorted(reads)[len(reads) // 2] if reads else None
 
-    hbm_fallback = probe_hbm()
-    hbm_defaulted = hbm_fallback is None
-    if hbm_defaulted:
-        hbm_fallback = 6.0e11
-
-    # ---- measured paths: per-attempt HBM pairing + median ---------------
-    def run_paired(fn, x0, nnz, nrows, ncols, nbytes, iters, attempts=5):
-        good = []
-        for _ in range(attempts):
-            try:
-                hbm_i = harness.measure_hbm_bandwidth()
-                if not (2e11 < hbm_i < 1.2e12):
-                    continue
-                r = harness.bench_spmv_square(
-                    fn, x0, nnz, nrows, ncols, hbm_i, iters=iters,
-                    bytes_moved=nbytes)
-            except Exception:  # noqa: BLE001
-                continue
-            if 1e-4 < r["roofline_fraction"] < 1.10:
-                r["hbm"] = hbm_i
-                good.append(r)
-        if not good:
+    # ---- measured paths: per-attempt probes, stats finalized at end -----
+    def measure_once(fn, x0, iters):
+        """One probe + one delta measurement; returns seconds or None."""
+        try:
+            b = harness.measure_hbm_bandwidth()
+            if 2e11 < b < 1.2e12:
+                probes_rw.append(b)
+            per = harness.time_iterated(
+                fn, x0, iters=iters, iters_small=max(1, iters // 8))
+        except Exception:  # noqa: BLE001
             return None
-        fr = sorted(g["roofline_fraction"] for g in good)
-        n = len(fr)
-        med = fr[n // 2] if n % 2 else 0.5 * (fr[n // 2 - 1] + fr[n // 2])
-        sub = [g for g in good if g["roofline_fraction"] <= 1.0]
-        best = dict(max(sub or good, key=lambda g: g["roofline_fraction"]))
-        best["median_fraction"] = med
-        best["n_attempts"] = n
-        return best
+        return per if per > 2e-7 else None
 
     mu, nu = A_u.shape
     mp_, np2 = A_p.shape
@@ -188,47 +189,157 @@ def main():
     # (ADVICE r3). Correctness of the full flat path is gated above.
     xu3 = x_to_panes(sb, jnp.pad(x_u, (0, sb.n_panes * 1024 - nu)))
     xp3 = x_to_panes(sb_p, jnp.pad(x_p, (0, sb_p.n_panes * 1024 - np2)))
+    sell_wr = sell.n_stripes * 1024 * 4
     paths = {
         "sbell_cant": (lambda x: sbell_spmv_panes(sb, x), xu3, A_u.nnz,
-                       mu, nu,
-                       harness.format_spmv_bytes("sbell", sb, mu, nu), 64),
+                       harness.format_spmv_rw_bytes("sbell", sb, mu, nu),
+                       128),
         "sbell_pwtk": (lambda x: sbell_spmv_panes(sb_p, x), xp3, A_p.nnz,
-                       mp_, np2,
-                       harness.format_spmv_bytes("sbell", sb_p, mp_, np2),
-                       32),
+                       harness.format_spmv_rw_bytes("sbell", sb_p, mp_,
+                                                    np2), 32),
         "sbell_cant_bf16": (lambda x: sbell_spmv_panes(sb16, x), xu3,
-                            A_u.nnz, mu, nu,
-                            harness.format_spmv_bytes("sbell", sb16, mu,
-                                                      nu), 96),
+                            A_u.nnz,
+                            harness.format_spmv_rw_bytes("sbell", sb16,
+                                                         mu, nu), 256),
         "sbell_pwtk_bf16": (lambda x: sbell_spmv_panes(sb_p16, x), xp3,
-                            A_p.nnz, mp_, np2,
-                            harness.format_spmv_bytes("sbell", sb_p16,
-                                                      mp_, np2), 48),
-        "dia_poisson": (lambda x: spmv.dia_spmv(dia, x), x_s, A_s.nnz,
-                        *A_s.shape,
-                        harness.format_spmv_bytes("dia", dia, *A_s.shape),
-                        128),
+                            A_p.nnz,
+                            harness.format_spmv_rw_bytes("sbell", sb_p16,
+                                                         mp_, np2), 128),
         "sell_poisson": (lambda x: sell_spmv(sell, x), x_s, A_s.nnz,
-                         *A_s.shape, sell.hbm_bytes, 64),
+                         (sell.hbm_bytes - sell_wr, sell_wr), 64),
         "ell_poisson": (lambda x: spmv.ell_spmv(ell, x), x_s, A_s.nnz,
-                        *A_s.shape,
-                        harness.format_spmv_bytes("ell", ell, *A_s.shape), 8),
+                        harness.format_spmv_rw_bytes("ell", ell,
+                                                     *A_s.shape), 8),
     }
     ok_by_path = {"sbell_cant": ok_u, "sbell_pwtk": ok_p,
                   "sbell_cant_bf16": ok_u16, "sbell_pwtk_bf16": ok_p16,
-                  "dia_poisson": ok_s, "sell_poisson": ok_sell,
-                  "ell_poisson": ok_s}
-    results = {}
-    for name, args in paths.items():
+                  "sell_poisson": ok_sell, "ell_poisson": ok_s}
+    # attempts run ROUND-ROBIN across paths: relay slowdowns come in
+    # minutes-long windows, and back-to-back attempts on one path all
+    # land in the same window (run 4: five consecutive cant attempts
+    # all read 40% slow while a standalone run minutes later was fine) —
+    # interleaving decorrelates each path's attempts from the windows
+    raw = {name: [] for name in paths}
+    # 8 rounds for the two headline paths (slow-windows last minutes;
+    # more spread = better odds of sampling a clean window), 5 for the
+    # bf16 secondaries, 2 for the negative control
+    rounds_for = {"sbell_cant": 8, "sbell_pwtk": 8, "ell_poisson": 2}
+    for rnd in range(8):
+        for name, (fn, x0, nnz, rw, iters) in paths.items():
+            if not ok_by_path[name]:
+                continue
+            if rnd >= rounds_for.get(name, 5):
+                continue
+            per = measure_once(fn, x0, iters)
+            if per is not None:
+                raw[name].append(per)
+    for name in paths:
         if not ok_by_path[name]:
-            results[name] = dict(error="incorrect result",
+            raw[name] = "incorrect result"
+        elif not raw[name]:
+            raw[name] = "no plausible reading"
+
+    # ---- finalize stats against the run's speed-of-light ----------------
+    # MEDIAN of the ~37 stream probes: min-selection inside each probe
+    # leaves two-sided residual noise, and a single inflated draw (855
+    # GB/s > the 819 physical, seen in run 3) poisons a max-selected
+    # denominator; the median is stable at ~650-675 across runs
+    probes_sorted = sorted(probes_rw)
+    bw_rw = probes_sorted[len(probes_sorted) // 2] if probes_rw else 6.0e11
+    read_defaulted = bw_read_med is None
+    bw_read = bw_read_med if bw_read_med is not None else bw_rw * 1.12
+    results = {}
+    for name, (fn, x0, nnz, rw, iters) in paths.items():
+        r = raw[name]
+        if isinstance(r, str):
+            results[name] = dict(error=r, roofline_fraction=0.0,
+                                 nnz_per_s=0.0)
+            continue
+        rd, wr = rw
+        total = rd + wr
+        sol = harness.mixed_speed_of_light(bw_read, bw_rw, rd, wr)
+        fracs = sorted(total / p / sol for p in r)
+        plaus = [f for f in fracs if f < 1.10]
+        if not plaus:
+            results[name] = dict(error="no plausible reading",
                                  roofline_fraction=0.0, nnz_per_s=0.0)
             continue
-        # the negative control gets fewer attempts — it is slow by design
-        r = run_paired(*args, attempts=2 if name == "ell_poisson" else 5)
-        results[name] = r if r is not None else dict(
-            error="no plausible reading", roofline_fraction=0.0,
-            nnz_per_s=0.0)
+        n = len(plaus)
+        med = plaus[n // 2] if n % 2 else 0.5 * (plaus[n // 2 - 1]
+                                                 + plaus[n // 2])
+        sub = [f for f in plaus if f <= 1.0]
+        best = max(sub) if sub else max(plaus)
+        per_best = total / (best * sol)
+        results[name] = dict(roofline_fraction=best, median_fraction=med,
+                             nnz_per_s=nnz / per_best, seconds=per_best,
+                             sol=sol, n_attempts=n)
+
+    # ---- DIA: outside the fraction instrument (round 4) -----------------
+    # the fused XLA form at Poisson-1024² is VMEM-RESIDENT (29.6 MB fits
+    # v5e's 128 MB VMEM -> 500+ Gnnz/s effective, not an HBM number), and
+    # the Pallas kernel at Poisson-3072² achieves ~1.1 TB/s model-rate,
+    # ABOVE the stream-probe SoL — both are reported as labeled entries
+    # with Gnnz/s, which is robust, instead of a fraction that would
+    # either saturate or be auto-rejected as implausible. PERF_NOTES r4.
+    dia_results = {}
+    try:
+        if ok_s:
+            # VMEM-resident at ~1 us/matvec: iters=4096 puts ~4 ms of
+            # compute behind each fetch (the 10 ms discipline)
+            pers = [p for p in (measure_once(
+                lambda x: spmv.dia_spmv(dia, x), x_s, 4096)
+                for _ in range(3)) if p is not None]
+            if pers:
+                p = min(pers)
+                dia_results["dia_poisson1024_xla"] = dict(
+                    us=round(p * 1e6, 1),
+                    gnnz_per_s=round(A_s.nnz / p / 1e9, 2),
+                    vmem_resident=True, correct=True)
+        from functools import partial as _pt
+
+        from libhpc_tpu.ops.dia_pallas import DiaPallas, dia_spmv_pallas
+
+        A_3 = matrices.poisson2d(3072)
+        dp3 = DiaPallas.from_dia(DIA.from_scipy(A_3))
+        x_3 = jnp.asarray(np.linspace(-1, 1, A_3.shape[1],
+                                      dtype=np.float32))
+        ok_3 = close(dia_spmv_pallas(dp3, x_3), A_3 @ np.asarray(x_3))
+        if ok_3:
+            @_pt(jax.jit, static_argnums=(2,))
+            def _dia_runner(dpv, x, iters):
+                def body(_, v):
+                    return jax.lax.optimization_barrier(
+                        dia_spmv_pallas(dpv, v)[:x.shape[0]])
+                return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
+
+            def _fetch(it):
+                return float(_dia_runner(dp3, x_3, it))
+
+            _fetch(4)
+            _fetch(32)
+
+            def _tmin(it):
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _fetch(it)
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            p = max((_tmin(32) - _tmin(4)) / 28, 1e-9)
+            dia_results["dia_pallas_poisson3072"] = dict(
+                us=round(p * 1e6, 1),
+                gnnz_per_s=round(A_3.nnz / p / 1e9, 2),
+                achieved_gb_per_s=round(dp3.hbm_bytes / p / 1e9, 1),
+                model_mb=round(dp3.hbm_bytes / 1e6, 1),
+                exceeds_probe_sol=bool(
+                    dp3.hbm_bytes / p > 1.10 * bw_read), correct=True)
+        else:
+            dia_results["dia_pallas_poisson3072"] = dict(
+                error="incorrect result")
+        del A_3, dp3
+    except Exception as e:  # noqa: BLE001
+        dia_results["error"] = f"{type(e).__name__}: {e}"[:200]
 
     # ---- configs[2]: SpMM + CG on the same matrices (gated) --------------
     spmm_cg = {}
@@ -287,33 +398,38 @@ def main():
         else:
             spmm_cg["cg_sbell_cant_32it"] = dict(error="incorrect result")
 
-        # DIA-Poisson CG (the structured-solver pairing)
-        xs_, _, _ = solver.cg(lambda u: spmv.dia_spmv(dia, u),
-                              jnp.ones((A_s.shape[0],), jnp.float32),
+        # DIA CG on the SHIFTED Poisson (A + I/2): identical structure
+        # and per-iteration traffic, but kappa ~17 so 32 iterations
+        # actually converge and the gate is meaningful — on the raw
+        # kappa~4e5 system the f32 residual after 32 iters is 18x |b|
+        # (CG residual norms are not monotone), so no residual gate
+        # can validate that workload
+        import scipy.sparse as sps_
+
+        dia_sh = DIA.from_scipy(A_s + sps_.eye(A_s.shape[0]) * 0.5)
+        A_sh = (A_s + sps_.eye(A_s.shape[0]) * 0.5).tocsr()
+        b_sh = jnp.ones((A_s.shape[0],), jnp.float32)
+        xs_, _, _ = solver.cg(lambda u: spmv.dia_spmv(dia_sh, u), b_sh,
                               tol=0.0, max_iter=n_it)
-        r_ = np.ones(A_s.shape[0]) - A_s @ np.asarray(xs_, np.float64)
-        # 32 unpreconditioned CG iters on the kappa~4e5 Poisson-1024^2
-        # system only shave ~10% off the residual (sqrt-kappa rate) —
-        # the gate checks finite monotone progress, not convergence
-        okp = np.isfinite(r_).all() and np.linalg.norm(r_) < 0.995 * np.sqrt(
-            A_s.shape[0])
+        r_ = np.ones(A_s.shape[0]) - A_sh @ np.asarray(xs_, np.float64)
+        okp = np.isfinite(r_).all() and (
+            np.linalg.norm(r_) < 1e-3 * np.sqrt(A_s.shape[0]))
         if okp:
             def cgp(v):
-                x, _, _ = solver.cg(lambda u: spmv.dia_spmv(dia, u), v,
+                x, _, _ = solver.cg(lambda u: spmv.dia_spmv(dia_sh, u), v,
                                     tol=0.0, max_iter=n_it)
                 return v + x * 1e-30
 
             per = retry(lambda: harness.time_iterated(
-                cgp, jnp.ones((A_s.shape[0],), jnp.float32), iters=4,
-                iters_small=1), lambda p: p > 2e-7)
+                cgp, b_sh, iters=4, iters_small=1), lambda p: p > 2e-7)
             if per:
-                spmm_cg["cg_dia_poisson1024_32it"] = dict(
+                spmm_cg["cg_dia_poisson1024s_32it"] = dict(
                     ms=round(per * 1e3, 3),
                     iters_per_s=round(n_it / per, 1),
                     gnnz_per_s=round(n_it * A_s.nnz / per / 1e9, 2),
                     correct=True)
         else:
-            spmm_cg["cg_dia_poisson1024_32it"] = dict(
+            spmm_cg["cg_dia_poisson1024s_32it"] = dict(
                 error="incorrect result")
     except Exception as e:  # noqa: BLE001
         spmm_cg["error"] = f"{type(e).__name__}: {e}"[:200]
@@ -414,16 +530,19 @@ def main():
                         best = min(best, time.perf_counter() - t1)
                     return best
 
-                hbm_i = harness.measure_hbm_bandwidth()
                 fetch(2)
                 fetch(12)
                 per = max((tmin(12) - tmin(2)) / 10, 1e-9)
-                nbytes = harness.format_spmv_bytes("sbell", sb_b, mb, nb)
+                rd_b, wr_b = harness.format_spmv_rw_bytes(
+                    "sbell", sb_b, mb, nb)
+                sol_b = harness.mixed_speed_of_light(bw_read, bw_rw,
+                                                     rd_b, wr_b)
                 scale["sbell_100m"] = dict(
                     nnz_m=round(A_b.nnz / 1e6, 1),
                     ms=round(per * 1e3, 2),
                     gnnz_per_s=round(A_b.nnz / per / 1e9, 2),
-                    own_bytes_fraction=round(nbytes / per / hbm_i, 4),
+                    own_bytes_fraction=round(
+                        (rd_b + wr_b) / per / sol_b, 4),
                     chunked=chunked,
                     n_chunks=len(plan[3]) if chunked else 1,
                     resident_mb=round(resident / 1e6, 1), correct=True)
@@ -466,7 +585,9 @@ def main():
     head = results["sbell_cant"]
     frac = head["roofline_fraction"] if ok_u else 0.0
     csr_bytes = harness.spmv_bytes(A_u.nnz, mu, nu)
-    csr_equiv = (csr_bytes / head["seconds"] / head["hbm"]
+    csr_sol = harness.mixed_speed_of_light(bw_read, bw_rw,
+                                           csr_bytes - mu * 4, mu * 4)
+    csr_equiv = (csr_bytes / head["seconds"] / csr_sol
                  if "seconds" in head and ok_u else 0.0)
     print(json.dumps({
         "metric": "unstructured_spmv_roofline_fraction",
@@ -477,9 +598,13 @@ def main():
                     "sbell_bf16": ok_u16 and ok_p16, "poisson": ok_s},
         "gnnz_per_s": round(head.get("nnz_per_s", 0.0) / 1e9, 3),
         "csr_byte_model_fraction": round(csr_equiv, 4),
-        "hbm_gb_per_s": round((head.get("hbm", hbm_fallback)) / 1e9, 1),
+        "hbm_gb_per_s": round(bw_rw / 1e9, 1),
+        "hbm_read_gb_per_s": round(bw_read / 1e9, 1),
         "hbm_defaulted": hbm_defaulted,
+        "read_probe_defaulted": read_defaulted,
         "hbm_per_attempt": True,
+        "sol_gb_per_s": {k: round(v.get("sol", 0.0) / 1e9, 1)
+                         for k, v in results.items()},
         "timed_form": "panes",
         "matrices": matrices_source,
         "negative_controls": ["ell_poisson"],
@@ -491,6 +616,7 @@ def main():
                              for k, v in results.items()},
         "gnnz": {k: round(v.get("nnz_per_s", 0.0) / 1e9, 3)
                  for k, v in results.items()},
+        "dia": dia_results,
         "spmm_cg": spmm_cg,
         "scale": scale,
         "sort_500m_u32": {"ok": sort_ok, "ms": sort_ms,

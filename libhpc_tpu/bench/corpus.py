@@ -219,23 +219,29 @@ def bench_sbell():
     (tests/test_gpu_benchmark/test_gpu_benchmark.cpp:12,96-126)."""
     from libhpc_tpu.bench import matrices
     from libhpc_tpu.bench.harness import (format_spmv_bytes,
-                                          measure_hbm_bandwidth)
+                                          format_spmv_rw_bytes,
+                                          measure_hbm_bandwidth,
+                                          measure_hbm_read_bandwidth,
+                                          mixed_speed_of_light)
     from libhpc_tpu.ops.spmv_pallas import sbell_spmv_panes, x_to_panes
     from libhpc_tpu.sparse.sbell import SBELL
 
     hbm = measure_hbm_bandwidth()
+    hbm_r = measure_hbm_read_bandwidth()
     for name in ("cant", "pwtk"):
         A = matrices.load_or_synthesize(name)
         m, n = A.shape
         sb = SBELL.from_scipy(A)
         x = x_to_panes(sb, jnp.asarray(np.linspace(
             -1, 1, sb.n_panes * 1024, dtype=np.float32)))
-        nbytes = format_spmv_bytes("sbell", sb, m, n)
+        rd, wr = format_spmv_rw_bytes("sbell", sb, m, n)
+        sol = mixed_speed_of_light(hbm_r, hbm, rd, wr)
+        nbytes = rd + wr
         per = time_iterated(lambda v: sbell_spmv_panes(sb, v), x,
                             iters=64, iters_small=8)
         _emit(f"spmv_sbell_{name}", per, gnnz_per_s=A.nnz / per / 1e9,
-              own_bytes_fraction=nbytes / per / hbm,
-              hbm_gb_per_s=hbm / 1e9)
+              own_bytes_fraction=nbytes / per / sol,
+              hbm_gb_per_s=hbm / 1e9, sol_gb_per_s=sol / 1e9)
 
         # bf16 value stream (ROADMAP #7 / VERDICT r3 #4): gated against
         # the bf16-QUANTIZED operator (the kernel accumulates f32)
@@ -252,12 +258,14 @@ def bench_sbell():
             print(json.dumps({"bench": f"spmv_sbell_{name}_bf16",
                               "error": "incorrect result"}), flush=True)
             continue
-        nbytes16 = format_spmv_bytes("sbell", sb16, m, n)
+        rd16, wr16 = format_spmv_rw_bytes("sbell", sb16, m, n)
+        sol16 = mixed_speed_of_light(hbm_r, hbm, rd16, wr16)
+        nbytes16 = rd16 + wr16
         per = time_iterated(lambda v: sbell_spmv_panes(sb16, v), x,
                             iters=64, iters_small=8)
         _emit(f"spmv_sbell_{name}_bf16", per,
               gnnz_per_s=A.nnz / per / 1e9,
-              own_bytes_fraction=nbytes16 / per / hbm,
+              own_bytes_fraction=nbytes16 / per / sol16,
               speedup_vs_f32_bytes=nbytes / nbytes16, correct=True)
 
 
@@ -380,6 +388,7 @@ def bench_scale():
     from libhpc_tpu.sparse.sbell import SBELL
 
     hbm = harness.measure_hbm_bandwidth()
+    hbm_r = harness.measure_hbm_read_bandwidth()
 
     # ---- 100M-nnz chunked SBELL SpMV --------------------------------------
     t0 = _t.perf_counter()
@@ -429,10 +438,11 @@ def bench_scale():
             return best
 
         per = max((tmin(12) - tmin(2)) / 10, 1e-9)
-        nbytes = harness.format_spmv_bytes("sbell", sb, m, n)
+        rd, wr = harness.format_spmv_rw_bytes("sbell", sb, m, n)
+        sol = harness.mixed_speed_of_light(hbm_r, hbm, rd, wr)
         _emit("spmv_sbell_100m_chunked", per,
               gnnz_per_s=A.nnz / per / 1e9,
-              own_bytes_fraction=nbytes / per / hbm,
+              own_bytes_fraction=(rd + wr) / per / sol,
               nnz_m=round(A.nnz / 1e6, 1), chunked=chunked,
               n_chunks=len(plan[3]) if chunked else 1,
               resident_mb=round(resident / 1e6, 1),
