@@ -61,19 +61,25 @@ class AMGHierarchy:
 def _aggregate(A, theta: float):
     """Greedy strength-based aggregation (host). Returns (agg ids, nc).
 
-    Strong edge: |a_ij| >= theta * sqrt(|a_ii a_jj|). Pass 1 seeds an
-    aggregate from every node whose strong neighborhood is untouched;
-    pass 2 attaches leftovers to a neighboring aggregate; pass 3 makes
-    singletons of the rest."""
+    Strong edge (classical row-max strength): |a_ij| >= theta *
+    max_{k != i} |a_ik| — scale-invariant, so heavily diagonally-dominant
+    operators still coarsen (the absolute sqrt(|a_ii a_jj|) measure made
+    every edge weak on shifted SPD matrices: zero aggregation, a 62k
+    "coarse" dense inverse, and an OpenBLAS segfault — round 4). Pass 1
+    seeds an aggregate from every node whose strong neighborhood is
+    untouched; pass 2 attaches leftovers to a neighboring aggregate;
+    pass 3 makes singletons of the rest."""
     import scipy.sparse as sps
 
     A = sps.csr_matrix(A)
     n = A.shape[0]
-    d = np.abs(A.diagonal()) + 1e-30
     coo = A.tocoo()
-    strong = (np.abs(coo.data)
-              >= theta * np.sqrt(d[coo.row] * d[coo.col]))
-    strong &= coo.row != coo.col
+    off = coo.row != coo.col
+    absd = np.where(off, np.abs(coo.data), 0.0)
+    rowmax = np.zeros(n)
+    np.maximum.at(rowmax, coo.row, absd)
+    strong = absd >= theta * np.maximum(rowmax[coo.row], 1e-30)
+    strong &= off
     S = sps.csr_matrix(
         (np.ones(int(strong.sum()), np.int8),
          (coo.row[strong], coo.col[strong])), shape=(n, n))
@@ -114,13 +120,17 @@ def _level_from_scipy(A_l, agg, nc, omega: float) -> AMGLevel:
                     agg=jnp.asarray(agg, jnp.int32), n=n, nc=nc)
 
 
-def amg_setup(A, n_levels: int = 3, theta: float = 0.08,
+def amg_setup(A, n_levels: int = 3, theta: float = 0.25,
               omega: float = 0.65, coarse_max: int = 3000,
-              pre: int = 2, post: int = 2) -> AMGHierarchy:
+              pre: int = 2, post: int = 2,
+              coarse_hard_max: int = 8000) -> AMGHierarchy:
     """Build the hierarchy from a scipy SPD matrix (host, one-time).
 
     Coarsening stops early once the operator is <= coarse_max rows; the
-    coarsest operator is inverted densely (applied as one MXU matmul)."""
+    coarsest operator is inverted densely (applied as one MXU matmul).
+    If aggregation stalls (pathological strength graph) and the coarsest
+    level exceeds coarse_hard_max, the setup raises instead of feeding a
+    huge dense inverse to LAPACK."""
     import scipy.sparse as sps
 
     A_l = sps.csr_matrix(A).astype(np.float32)
@@ -131,12 +141,22 @@ def amg_setup(A, n_levels: int = 3, theta: float = 0.08,
         if A_l.shape[0] <= coarse_max:
             break
         agg, nc = _aggregate(A_l, theta)
+        if nc > 0.8 * A_l.shape[0]:
+            # coarsening stalled — stop here rather than build a level
+            # that shrinks nothing
+            break
         levels.append(_level_from_scipy(A_l, agg, nc, omega))
         n = A_l.shape[0]
         P = sps.csr_matrix(
             (np.ones(n, np.float32), (np.arange(n), agg)), shape=(n, nc))
         A_l = (P.T @ A_l @ P).tocsr()
         A_l.sort_indices()
+    if A_l.shape[0] > coarse_hard_max:
+        raise ValueError(
+            f"amg_setup: coarsest level has {A_l.shape[0]} rows "
+            f"(> {coarse_hard_max}) — aggregation failed to coarsen this "
+            "operator (check the strength threshold theta, or give more "
+            "n_levels)")
     coarse_inv = jnp.asarray(
         np.linalg.inv(A_l.toarray().astype(np.float64)).astype(np.float32))
     return AMGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
