@@ -45,6 +45,8 @@ class AMGLevel:
     sbell: SBELL       # the level operator on the Pallas path
     dinv3: jax.Array   # omega / diag in GUARDED pane layout (0 on padding)
     agg: jax.Array     # (n,) i32 aggregate id of each row
+    p_csr: object      # smoothed-aggregation P as CSR, or None
+    pt_csr: object     # P^T as CSR, or None
     n: int = dataclasses.field(metadata=dict(static=True))
     nc: int = dataclasses.field(metadata=dict(static=True))
 
@@ -107,7 +109,7 @@ def _aggregate(A, theta: float):
     return agg, nc
 
 
-def _level_from_scipy(A_l, agg, nc, omega: float) -> AMGLevel:
+def _level_from_scipy(A_l, agg, nc, omega: float, P=None) -> AMGLevel:
     sb = SBELL.from_scipy(A_l)
     n = A_l.shape[0]
     npad = sb.n_panes * PANE_COLS
@@ -116,21 +118,36 @@ def _level_from_scipy(A_l, agg, nc, omega: float) -> AMGLevel:
     nzd = diag != 0.0
     dinv[:n][nzd] = omega / diag[nzd]
     dinv3 = x_to_panes(sb, jnp.asarray(dinv))
+    p_csr = pt_csr = None
+    if P is not None:
+        from libhpc_tpu.sparse.csr import CSR
+
+        p_csr = CSR.from_scipy(P.tocsr())
+        pt_csr = CSR.from_scipy(P.T.tocsr())
     return AMGLevel(sbell=sb, dinv3=dinv3,
-                    agg=jnp.asarray(agg, jnp.int32), n=n, nc=nc)
+                    agg=jnp.asarray(agg, jnp.int32),
+                    p_csr=p_csr, pt_csr=pt_csr, n=n, nc=nc)
 
 
 def amg_setup(A, n_levels: int = 3, theta: float = 0.25,
               omega: float = 0.65, coarse_max: int = 3000,
               pre: int = 2, post: int = 2,
-              coarse_hard_max: int = 8000) -> AMGHierarchy:
+              coarse_hard_max: int = 8000,
+              smooth_p: bool = False) -> AMGHierarchy:
     """Build the hierarchy from a scipy SPD matrix (host, one-time).
 
     Coarsening stops early once the operator is <= coarse_max rows; the
     coarsest operator is inverted densely (applied as one MXU matmul).
     If aggregation stalls (pathological strength graph) and the coarsest
     level exceeds coarse_hard_max, the setup raises instead of feeding a
-    huge dense inverse to LAPACK."""
+    huge dense inverse to LAPACK.
+
+    smooth_p=True builds SMOOTHED aggregation: the tentative piecewise-
+    constant P is damped-Jacobi smoothed (P = (I - 2/3 D^-1 A) P_t),
+    which repairs the energy of the coarse basis — fewer PCG iterations
+    on Poisson-class operators at the cost of a denser transfer (the
+    jittable apply then uses CSR SpMV for P/P^T instead of the
+    gather/segment-sum of piecewise-constant transfers)."""
     import scipy.sparse as sps
 
     A_l = sps.csr_matrix(A).astype(np.float32)
@@ -145,10 +162,16 @@ def amg_setup(A, n_levels: int = 3, theta: float = 0.25,
             # coarsening stalled — stop here rather than build a level
             # that shrinks nothing
             break
-        levels.append(_level_from_scipy(A_l, agg, nc, omega))
         n = A_l.shape[0]
         P = sps.csr_matrix(
             (np.ones(n, np.float32), (np.arange(n), agg)), shape=(n, nc))
+        if smooth_p:
+            dinv = 1.0 / np.maximum(np.abs(A_l.diagonal()), 1e-30)
+            Dinv = sps.diags(dinv.astype(np.float32))
+            P = (P - (2.0 / 3.0) * (Dinv @ (A_l @ P))).tocsr()
+            P.sort_indices()
+        levels.append(_level_from_scipy(A_l, agg, nc, omega,
+                                        P=P if smooth_p else None))
         A_l = (P.T @ A_l @ P).tocsr()
         A_l.sort_indices()
     if A_l.shape[0] > coarse_hard_max:
@@ -183,9 +206,19 @@ def _cycle(H: AMGHierarchy, li: int, f):
     u3 = _smooth(lev, u3, f3, H.pre - 1)
     r3 = f3 - sbell_spmv_panes(sb, u3)
     r = panes_to_x(sb, r3)[:lev.n]
-    rc = jax.ops.segment_sum(r, lev.agg, num_segments=lev.nc)
+    if lev.p_csr is None:     # piecewise-constant transfers
+        rc = jax.ops.segment_sum(r, lev.agg, num_segments=lev.nc)
+    else:                     # smoothed aggregation: P^T r
+        from libhpc_tpu.ops.spmv import csr_spmv
+
+        rc = csr_spmv(lev.pt_csr, r)
     ec = _cycle(H, li + 1, rc)
-    e = ec[lev.agg]
+    if lev.p_csr is None:
+        e = ec[lev.agg]
+    else:
+        from libhpc_tpu.ops.spmv import csr_spmv
+
+        e = csr_spmv(lev.p_csr, ec)
     u3 = u3 + x_to_panes(sb, jnp.pad(e, (0, npad - lev.n)))
     u3 = _smooth(lev, u3, f3, H.post)
     return panes_to_x(sb, u3)[:lev.n]

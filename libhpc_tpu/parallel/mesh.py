@@ -38,13 +38,23 @@ def force_cpu_devices(n: int) -> None:
 
 
 def make_mesh_1d(n: int | None = None, axis: str = "x") -> Mesh:
-    """1D ring mesh over the first n devices (ICI axis)."""
+    """1D ring mesh over the first n devices (ICI axis).
+
+    Axis type AUTO (GSPMD sharding propagation): jax.make_mesh defaults
+    to Explicit in current JAX, under which auto-sharded library ops
+    (e.g. segment_sum inside a jitted preconditioner) fail with
+    'Resource axis ... not found in mesh: ()' — this library drives
+    sharding with explicit shard_map / NamedSharding placements and
+    leaves the rest to GSPMD."""
     devs = jax.devices()
     if n is None:
         n = len(devs)
-    return jax.make_mesh((n,), (axis,), devices=devs[:n])
+    return jax.make_mesh((n,), (axis,), devices=devs[:n],
+                         axis_types=(jax.sharding.AxisType.Auto,))
 
 
 def make_mesh_2d(n_host: int, n_chip: int, axes=("host", "x")) -> Mesh:
-    """2D mesh: outer DCN-like 'host' axis × inner ICI 'x' axis."""
-    return jax.make_mesh((n_host, n_chip), axes)
+    """2D mesh: outer DCN-like 'host' axis × inner ICI 'x' axis (AUTO
+    axis types, see make_mesh_1d)."""
+    return jax.make_mesh((n_host, n_chip), axes,
+                         axis_types=(jax.sharding.AxisType.Auto,) * 2)

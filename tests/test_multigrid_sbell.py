@@ -81,3 +81,25 @@ def test_amg_pcg_fem_spd():
     expect = spla.spsolve(A.tocsc().astype(np.float64),
                           b.astype(np.float64))
     np.testing.assert_allclose(np.asarray(x), expect, rtol=2e-3, atol=2e-3)
+
+
+def test_amg_smoothed_aggregation_fewer_iters():
+    """Smoothed-aggregation P cuts PCG iterations vs piecewise-constant
+    on Poisson (the textbook SA payoff)."""
+    import scipy.sparse.linalg as spla
+
+    A = matrices.poisson2d(64)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(A.shape[0]).astype(np.float32)
+    H0 = amg.amg_setup(A, n_levels=2, coarse_max=1500)
+    H1 = amg.amg_setup(A, n_levels=2, coarse_max=1500, smooth_p=True)
+    sb = H0.levels[0].sbell
+    x0, it0, _ = amg.amg_pcg(H0, lambda v: sbell_spmv(sb, v),
+                             jnp.asarray(b), tol=1e-6, max_iter=100)
+    x1, it1, _ = amg.amg_pcg(H1, lambda v: sbell_spmv(sb, v),
+                             jnp.asarray(b), tol=1e-6, max_iter=100)
+    expect = spla.spsolve(A.tocsc().astype(np.float64),
+                          b.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(x1), expect, rtol=2e-3,
+                               atol=2e-3)
+    assert int(it1) < int(it0)

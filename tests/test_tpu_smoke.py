@@ -143,3 +143,42 @@ def test_bell_spmv_tpu(rng):
     x = rng.random(bell.shape[1]).astype(np.float32)
     got = np.asarray(bell_spmv(bell, jnp.asarray(x)))[:512]
     np.testing.assert_allclose(got, A @ x[:512], rtol=2e-4, atol=2e-4)
+
+
+def test_sell_pallas_tpu(rng):
+    from libhpc_tpu.bench import matrices
+    from libhpc_tpu.ops.ell_pallas import sell_from_scipy, sell_spmv
+
+    A = matrices.poisson2d(48)
+    sp = sell_from_scipy(A)
+    x = np.linspace(-1, 1, A.shape[1]).astype(np.float32)
+    got = np.asarray(sell_spmv(sp, jnp.asarray(x)))
+    np.testing.assert_allclose(got, A @ x, rtol=2e-3, atol=2e-3)
+
+
+def test_dia_pallas_tpu(rng):
+    from libhpc_tpu.bench import matrices
+    from libhpc_tpu.ops.dia_pallas import DiaPallas, dia_spmv_pallas
+    from libhpc_tpu.sparse import DIA
+
+    A = matrices.poisson2d(96)
+    dp = DiaPallas.from_dia(DIA.from_scipy(A), T=1 << 13)
+    x = np.linspace(-1, 1, A.shape[1]).astype(np.float32)
+    got = np.asarray(dia_spmv_pallas(dp, jnp.asarray(x)))
+    np.testing.assert_allclose(got, A @ x, rtol=2e-3, atol=2e-3)
+
+
+def test_sbell_bf16_tpu(rng):
+    from libhpc_tpu.bench import matrices
+    from libhpc_tpu.ops.spmv_pallas import sbell_spmv
+    from libhpc_tpu.sparse.sbell import SBELL
+
+    A = matrices.block_random(120, block=8, blocks_per_row=5, seed=4,
+                              half_band=4, far_fraction=0.03)
+    sb16 = SBELL.from_scipy(A).astype_values(jnp.bfloat16)
+    x = np.linspace(-1, 1, A.shape[1]).astype(np.float32)
+    Aq = A.copy()
+    Aq.data = np.asarray(jnp.asarray(A.data).astype(
+        jnp.bfloat16).astype(jnp.float32))
+    got = np.asarray(sbell_spmv(sb16, jnp.asarray(x)))
+    np.testing.assert_allclose(got, Aq @ x, rtol=2e-3, atol=2e-3)
