@@ -326,8 +326,15 @@ def bench_spmm_cg():
               own_bytes_fraction=nbytes / per / hbm, correct=True)
 
     # -- CG loop: fixed 32 iterations (tol=0 never triggers), its/s --------
+    # SHIFTED Poisson (A + I/2): identical structure/traffic, kappa ~17,
+    # so 32 iterations converge and the gate means something — f32 CG
+    # residual norms on the raw kappa~1e5 system are non-monotone (18x
+    # |b| after 32 iters measured, bench.py round 4)
+    import scipy.sparse as sps_
+
     n_it = 32
-    D = DIA.from_scipy(A)
+    A_sh = (A + sps_.eye(A.shape[0]) * 0.5).tocsr()
+    D = DIA.from_scipy(A_sh)
     b = jnp.ones((A.shape[0],), jnp.float32)
 
     def cg_poisson(v):
@@ -335,17 +342,14 @@ def bench_spmm_cg():
                             max_iter=n_it)
         return v + x * 1e-30
 
-    # gate: 32 CG iterations on SPD Poisson must make finite monotone
-    # progress (unpreconditioned CG on this kappa~1e5 system shaves only
-    # ~10-20% off the residual in 32 iters — sqrt-kappa rate)
     xs, _, _ = solver.cg(lambda u: spmv.dia_spmv(D, u), b, tol=0.0,
                          max_iter=n_it)
-    r = np.asarray(b) - A @ np.asarray(xs)
+    r = np.asarray(b) - A_sh @ np.asarray(xs)
     okc = np.isfinite(r).all() and (
-        np.linalg.norm(r) < 0.995 * np.linalg.norm(np.asarray(b)))
-    if _gate("cg_dia_poisson512_32it", okc):
+        np.linalg.norm(r) < 1e-3 * np.linalg.norm(np.asarray(b)))
+    if _gate("cg_dia_poisson512s_32it", okc):
         per = time_iterated(cg_poisson, b, iters=4, iters_small=1)
-        _emit("cg_dia_poisson512_32it", per, iters_per_s=n_it / per,
+        _emit("cg_dia_poisson512s_32it", per, iters_per_s=n_it / per,
               gnnz_per_s=n_it * A.nnz / per / 1e9, correct=True)
 
     from libhpc_tpu.ops.spmv_pallas import (panes_to_x, sbell_spmv_panes,
