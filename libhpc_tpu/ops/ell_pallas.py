@@ -87,7 +87,8 @@ def sell_from_ell(ell, W: int = W_DEFAULT) -> SELL:
         cols = np.pad(cols, ((0, mp - m), (0, 0)))
 
     tiles_v, tiles_c, pane, sid = [], [], [], []
-    for s in range(n_stripes):
+    w_used = 1          # actual max pane span — the kernel's W (the
+    for s in range(n_stripes):  # per-pane pass count) shrinks to it
         for k in range(K):
             v = vals[s * PANE:(s + 1) * PANE, k]
             c = cols[s * PANE:(s + 1) * PANE, k]
@@ -102,11 +103,13 @@ def sell_from_ell(ell, W: int = W_DEFAULT) -> SELL:
                     f"{lo}..{hi} (> W={W}); this matrix is too "
                     "wide-scattered for the SELL window kernel — use the "
                     "SBELL path (ops/spmv_pallas.py) instead")
+            w_used = max(w_used, hi - lo + 1)
             c = np.where(nz, c, lo << 10)
             tiles_v.append(v.reshape(LANE, B).T)
             tiles_c.append(c.reshape(LANE, B).T.astype(np.int32))
             pane.append(lo)
             sid.append(s)
+    W = w_used
 
     n_tiles = max(len(tiles_v), 1)
     n_pad = -(-n_tiles // TPB) * TPB
