@@ -59,6 +59,16 @@ class DIA:
     def from_csr(csr) -> "DIA":
         return DIA.from_scipy(csr.to_scipy())
 
+    def to_pallas(self, T: int = 1 << 17):
+        """Tile for the Pallas streaming kernel (ops/dia_pallas.py) —
+        the fast path once the working set exceeds VMEM (~100 MB on
+        v5e): the XLA forms either live in VMEM (small operators, fine)
+        or collapse to 93-440 GB/s of wasted traffic (PERF_NOTES r4);
+        the kernel holds 176-225 Gnnz/s at any size."""
+        from libhpc_tpu.ops.dia_pallas import DiaPallas
+
+        return DiaPallas.from_dia(self, T=T)
+
     def to_scipy(self):
         import scipy.sparse as sps
 
