@@ -166,8 +166,8 @@ def main():
                 reads.append(b)
         except Exception:  # noqa: BLE001
             pass
-    hbm_defaulted = not probes_rw
-    bw_read_med = sorted(reads)[len(reads) // 2] if reads else None
+    # (recomputed at finalize below, after the per-round samples)
+    bw_read_med = None
 
     # ---- measured paths: per-attempt probes, stats finalized at end -----
     def measure_once(fn, x0, iters):
@@ -225,6 +225,14 @@ def main():
     # bf16 secondaries, 2 for the negative control
     rounds_for = {"sbell_cant": 8, "sbell_pwtk": 8, "ell_poisson": 2}
     for rnd in range(8):
+        # one read probe per round: 3 start-of-run samples left the read
+        # cost as the noisiest denominator term (median over 11 is stable)
+        try:
+            b = harness.measure_hbm_read_bandwidth()
+            if 2e11 < b < 1.2e12:
+                reads.append(b)
+        except Exception:  # noqa: BLE001
+            pass
         for name, (fn, x0, nnz, rw, iters) in paths.items():
             if not ok_by_path[name]:
                 continue
@@ -246,6 +254,11 @@ def main():
     # denominator; the median is stable at ~650-675 across runs
     probes_sorted = sorted(probes_rw)
     bw_rw = probes_sorted[len(probes_sorted) // 2] if probes_rw else 6.0e11
+    bw_read_med = sorted(reads)[len(reads) // 2] if reads else None
+    # evaluated HERE, after the per-attempt probes accumulated — the two
+    # warm-up probes alone could stall while the run still measured a
+    # genuine median (review r4)
+    hbm_defaulted = not probes_rw
     read_defaulted = bw_read_med is None
     bw_read = bw_read_med if bw_read_med is not None else bw_rw * 1.12
     results = {}
@@ -259,7 +272,7 @@ def main():
         total = rd + wr
         sol = harness.mixed_speed_of_light(bw_read, bw_rw, rd, wr)
         fracs = sorted(total / p / sol for p in r)
-        plaus = [f for f in fracs if f < 1.10]
+        plaus = [f for f in fracs if 1e-4 < f < 1.10]
         if not plaus:
             results[name] = dict(error="no plausible reading",
                                  roofline_fraction=0.0, nnz_per_s=0.0)
@@ -284,10 +297,10 @@ def main():
     dia_results = {}
     try:
         if ok_s:
-            # VMEM-resident at ~1 us/matvec: iters=4096 puts ~4 ms of
-            # compute behind each fetch (the 10 ms discipline)
+            # VMEM-resident at ~1 us/matvec: iters=16384 puts >=10 ms
+            # of compute behind each fetch (measurement discipline)
             pers = [p for p in (measure_once(
-                lambda x: spmv.dia_spmv(dia, x), x_s, 4096)
+                lambda x: spmv.dia_spmv(dia, x), x_s, 16384)
                 for _ in range(3)) if p is not None]
             if pers:
                 p = min(pers)
@@ -295,8 +308,6 @@ def main():
                     us=round(p * 1e6, 1),
                     gnnz_per_s=round(A_s.nnz / p / 1e9, 2),
                     vmem_resident=True, correct=True)
-        from functools import partial as _pt
-
         from libhpc_tpu.ops.dia_pallas import DiaPallas, dia_spmv_pallas
 
         A_3 = matrices.poisson2d(3072)
@@ -305,28 +316,10 @@ def main():
                                       dtype=np.float32))
         ok_3 = close(dia_spmv_pallas(dp3, x_3), A_3 @ np.asarray(x_3))
         if ok_3:
-            @_pt(jax.jit, static_argnums=(2,))
-            def _dia_runner(dpv, x, iters):
-                def body(_, v):
-                    return jax.lax.optimization_barrier(
-                        dia_spmv_pallas(dpv, v)[:x.shape[0]])
-                return jnp.sum(jax.lax.fori_loop(0, iters, body, x))
-
-            def _fetch(it):
-                return float(_dia_runner(dp3, x_3, it))
-
-            _fetch(4)
-            _fetch(32)
-
-            def _tmin(it):
-                best = float("inf")
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    _fetch(it)
-                    best = min(best, time.perf_counter() - t0)
-                return best
-
-            p = max((_tmin(32) - _tmin(4)) / 28, 1e-9)
+            n3 = A_3.shape[0]
+            p = harness.time_iterated(
+                lambda v, dpv: dia_spmv_pallas(dpv, v)[:n3], x_3,
+                iters=32, iters_small=4, operand=dp3)
             dia_results["dia_pallas_poisson3072"] = dict(
                 us=round(p * 1e6, 1),
                 gnnz_per_s=round(A_3.nnz / p / 1e9, 2),
@@ -434,8 +427,9 @@ def main():
     except Exception as e:  # noqa: BLE001
         spmm_cg["error"] = f"{type(e).__name__}: {e}"[:200]
 
-    # free the Poisson/pwtk things the scale section doesn't need
-    del ell, csr
+    # free the Poisson/pwtk operands before the 500M sort + 100M scale
+    # sections (paths' lambdas close over them, so the dict must go too)
+    del paths, raw, ell, csr, sell
 
     # ---- flagship sort (the reference's published headline) --------------
     # 500M u32 end-to-end; on-device data. Wall-clock best-of-3 PLUS the
@@ -489,7 +483,6 @@ def main():
     scale = {}
     try:
         if elapsed() < SCALE_DEADLINE_S:
-            from functools import partial
             from libhpc_tpu.ops import spmv_pallas
 
             A_b = matrices.block_random_fast(
@@ -509,30 +502,12 @@ def main():
                 x3_b = x_to_panes(sb_b, jnp.pad(
                     x_b, (0, sb_b.n_panes * 1024 - nb)))
 
-                # sb as a JIT ARGUMENT — closing over 400 MB of matrix
+                # sb as a JIT ARGUMENT (operand=) — closing over 400 MB
                 # embeds it in the remote compile payload (HTTP 413)
-                @partial(jax.jit, static_argnums=(2,))
-                def runner(sbv, x3v, iters):
-                    def body(_, v):
-                        return jax.tree_util.tree_map(
-                            jax.lax.optimization_barrier,
-                            sbell_spmv_panes(sbv, v, chunk_plan=plan))
-                    return jnp.sum(jax.lax.fori_loop(0, iters, body, x3v))
-
-                def fetch(it):
-                    return float(runner(sb_b, x3_b, it))
-
-                def tmin(it, reps=3):
-                    best = float("inf")
-                    for _ in range(reps):
-                        t1 = time.perf_counter()
-                        fetch(it)
-                        best = min(best, time.perf_counter() - t1)
-                    return best
-
-                fetch(2)
-                fetch(12)
-                per = max((tmin(12) - tmin(2)) / 10, 1e-9)
+                per = harness.time_iterated(
+                    lambda v, sbv: sbell_spmv_panes(sbv, v,
+                                                    chunk_plan=plan),
+                    x3_b, iters=12, iters_small=2, operand=sb_b)
                 rd_b, wr_b = harness.format_spmv_rw_bytes(
                     "sbell", sb_b, mb, nb)
                 sol_b = harness.mixed_speed_of_light(bw_read, bw_rw,

@@ -385,7 +385,6 @@ def bench_scale():
     before timing. Reference benchmark-driver discipline:
     tests/test_gpu_benchmark/test_gpu_benchmark.cpp:12,96-126."""
     import time as _t
-    from functools import partial as _partial
 
     from libhpc_tpu.bench import harness, matrices
     from libhpc_tpu.ops import spmv_pallas
@@ -414,34 +413,15 @@ def bench_scale():
         print(json.dumps({"bench": "spmv_sbell_100m_chunked",
                           "error": "incorrect result"}), flush=True)
     else:
-        # time with sb as a JIT ARGUMENT: closing over a 400 MB matrix
-        # embeds it in the remote compile payload (HTTP 413, round 1)
+        # time with sb as a JIT ARGUMENT (operand=): closing over a
+        # 400 MB matrix embeds it in the remote compile payload (HTTP
+        # 413, round 1)
         x3 = spmv_pallas.x_to_panes(
             sb, jnp.pad(x, (0, sb.n_panes * 1024 - n)))
-
-        @_partial(jax.jit, static_argnums=(2,))
-        def runner(sbv, x3v, iters):
-            def body(_, v):
-                return jax.tree_util.tree_map(
-                    jax.lax.optimization_barrier,
-                    spmv_pallas.sbell_spmv_panes(sbv, v, chunk_plan=plan))
-            return jnp.sum(jax.lax.fori_loop(0, iters, body, x3v))
-
-        def fetch(it):
-            return float(runner(sb, x3, it))
-
-        fetch(2)
-        fetch(12)
-
-        def tmin(it):
-            best = float("inf")
-            for _ in range(3):
-                t1 = _t.perf_counter()
-                fetch(it)
-                best = min(best, _t.perf_counter() - t1)
-            return best
-
-        per = max((tmin(12) - tmin(2)) / 10, 1e-9)
+        per = harness.time_iterated(
+            lambda v, sbv: spmv_pallas.sbell_spmv_panes(
+                sbv, v, chunk_plan=plan),
+            x3, iters=12, iters_small=2, operand=sb)
         rd, wr = harness.format_spmv_rw_bytes("sbell", sb, m, n)
         sol = harness.mixed_speed_of_light(hbm_r, hbm, rd, wr)
         _emit("spmv_sbell_100m_chunked", per,

@@ -41,20 +41,24 @@ def _probe(tree):
 
 
 def time_iterated(step_fn, x0, iters: int = 32, iters_small: int = 4,
-                  reps: int = 3) -> float:
-    """Seconds per application of step_fn (x -> x-like), delta method."""
+                  reps: int = 3, operand=None) -> float:
+    """Seconds per application of step_fn (x -> x-like), delta method.
 
-    @partial(jax.jit, static_argnums=(1,))
-    def runner(x, m):
+    operand: optional pytree passed as step_fn(x, operand) and fed to the
+    jit as an ARGUMENT — pass large matrices this way, never close over
+    them (closure constants embed in the remote compile payload: HTTP 413
+    past ~300 MB, round-1 lesson)."""
+
+    @partial(jax.jit, static_argnums=(2,))
+    def runner(x, op, m):
         def body(_, x):
-            return jax.tree_util.tree_map(
-                jax.lax.optimization_barrier, step_fn(x)
-            )
+            y = step_fn(x) if op is None else step_fn(x, op)
+            return jax.tree_util.tree_map(jax.lax.optimization_barrier, y)
         out = jax.lax.fori_loop(0, m, body, x)
         return _probe(out)
 
     def fetch(m):
-        return float(runner(x0, m))
+        return float(runner(x0, operand, m))
 
     fetch(iters_small)  # compile small
     fetch(iters)        # compile large

@@ -151,7 +151,11 @@ def dia_spmv_pallas(dp: DiaPallas, x: jax.Array) -> jax.Array:
     """y = A @ x for a DiaPallas operand; x f32 (ncols,) -> f32 (nrows,)."""
     m, n = dp.shape
     n_tiles = dp.n_tiles
-    L = dp.x_pad_lo + n_tiles * dp.T + dp.span_pad
+    # window coverage needs P + n_tiles*T + span_pad; a WIDE rectangular
+    # matrix (ncols beyond the diagonals' reach) needs room for all of x
+    # too — round the larger requirement up to whole rows
+    L = max(dp.x_pad_lo + n_tiles * dp.T + dp.span_pad,
+            -(-(dp.x_pad_lo + n) // LANE) * LANE)
     x_ext = jnp.pad(x, (dp.x_pad_lo, L - dp.x_pad_lo - n))
     x2 = x_ext.reshape(L // LANE, LANE)   # row view for the window DMAs
     out = _dia_call(dp.dflat, x2, dp.coffs, dp.T, dp.span_pad, n_tiles)

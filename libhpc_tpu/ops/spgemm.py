@@ -206,7 +206,12 @@ def spgemm_windowed(A_csr, B_csr, window: int = 1 << 21,
 
     Returns canonical sorted COO (exact nnz, duplicates merged). A
     (row, col) pair straddling a window seam yields one partial entry per
-    window; the final host lexsort+segment-sum merge combines them.
+    window; windows are internally sorted, so only the shared boundary
+    row needs the host merge.
+
+    Values are processed in float32 (the bit-delta reconstruction views
+    f32 bit patterns; this rig runs JAX without x64 anyway) — f64 inputs
+    are downcast once at entry, explicitly.
     """
     import os
 
@@ -230,7 +235,7 @@ def spgemm_windowed(A_csr, B_csr, window: int = 1 << 21,
     lens_l = lens_all[live]
     if lens_l.size == 0:
         z = jnp.zeros((1,), jnp.int32)
-        return COO(row=z, col=z, data=jnp.zeros((1,), A_csr.dtype),
+        return COO(row=z, col=z, data=jnp.zeros((1,), jnp.float32),
                    shape=(m, n_out))
     starts = np.concatenate([[0], np.cumsum(lens_l)])   # (nsrc+1,) int64
     S = int(starts[-1])
@@ -261,8 +266,10 @@ def spgemm_windowed(A_csr, B_csr, window: int = 1 << 21,
         jax.vmap(partial(_spgemm_window, W=W, SRC=SRC, CBITS=CBITS),
                  in_axes=(0, 0, 0, 0, 0, None, None)))
 
-    abits_l = adata_l.view(np.int32) if a_dat.dtype == np.float32 \
-        else adata_l.astype(np.float32).view(np.int32)
+    if a_dat.dtype != np.float32:   # explicit, documented downcast
+        a_dat = a_dat.astype(np.float32)
+        adata_l = adata_l.astype(np.float32)
+    abits_l = adata_l.view(np.int32)
 
     def _prep(b0):
         b1 = min(n_win, b0 + G)
@@ -373,7 +380,7 @@ def spgemm_windowed(A_csr, B_csr, window: int = 1 << 21,
     d = np.concatenate(out_d) if out_d else np.zeros(0, a_dat.dtype)
     if r.size == 0:
         z = jnp.zeros((1,), jnp.int32)
-        return COO(row=z, col=z, data=jnp.zeros((1,), A_csr.dtype),
+        return COO(row=z, col=z, data=jnp.zeros((1,), jnp.float32),
                    shape=(m, n_out))
     return COO(row=jnp.asarray(r, jnp.int32),
                col=jnp.asarray(c, jnp.int32),

@@ -51,3 +51,11 @@ def test_dia_pallas_rect():
     A = sps.diags([np.ones(5000), np.ones(5000)], [0, 1500],
                   shape=(m, n), format="csr", dtype=np.float32)
     _check(A)
+
+
+def test_dia_pallas_wide_rect():
+    """ncols far beyond the diagonals' reach (regression: negative pad)."""
+    m, n = 1000, 200000
+    A = sps.diags([np.ones(m)], [0], shape=(m, n), format="csr",
+                  dtype=np.float32)
+    _check(A)

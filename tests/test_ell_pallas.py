@@ -37,18 +37,11 @@ def test_sell_poisson_pane_crossing():
 
 
 def test_sell_rect():
+    # 1300 cols span 2 panes, so this matrix must always build (a raise
+    # here is a regression in rectangular SELL support, not a skip)
     A = sps.random(500, 1300, density=0.01, format="csr",
-                   dtype=np.float32, random_state=7)
-    A = A.tocsr()
-    _check(A, W=3) if _fits(A) else None
-
-
-def _fits(A):
-    try:
-        sell_from_scipy(A)
-        return True
-    except ValueError:
-        return False
+                   dtype=np.float32, random_state=7).tocsr()
+    _check(A, W=3)
 
 
 def test_sell_irregular_row_lengths(rng):
