@@ -51,18 +51,18 @@ from libhpc_tpu.sparse.sbell import (B, LANE, PANE_COLS, SBELL, STRIPE_ROWS,
                                      TPB, VROWS, W_PANES)
 
 
-def _kernel(pane_ref, sid_ref, v_ref, m_ref, x_ref, o_ref):
+def _kernel(pane_ref, sid_ref, v_ref, m_ref, x_ref, o_ref, *, tpb: int):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    for t in range(TPB):
+    for t in range(tpb):
         base = t * VROWS
         col = m_ref[t:t + 1, :]                                  # (1,128)
-        p = pane_ref[g * TPB + t]
-        sid = sid_ref[g * TPB + t]
+        p = pane_ref[g * tpb + t]
+        sid = sid_ref[g * tpb + t]
 
         # static two-pass gather over the tile's <=2 spanned panes
         idx = jnp.broadcast_to(col & (LANE - 1), (B, LANE))
@@ -86,7 +86,7 @@ def _kernel(pane_ref, sid_ref, v_ref, m_ref, x_ref, o_ref):
 
 def _ranged_kernel(off_ref, slo_ref, plo_ref, pane_ref, sid_ref,
                    v_ref, m_ref, x_any, o_ref, xs, sem, *, spc: int,
-                   win: int):
+                   win: int, tpb: int):
     """Chunked variant of _kernel, ONE pallas_call for all chunks: grid is
     (n_chunks, gsteps); chunk c walks tile blocks [off[c], off[c]+gsteps)
     of the GLOBAL tile stream (prefetch-scalar-driven index_map — zero
@@ -105,9 +105,9 @@ def _ranged_kernel(off_ref, slo_ref, plo_ref, pane_ref, sid_ref,
         cp.start()
         cp.wait()
 
-    for t in range(TPB):
+    for t in range(tpb):
         base = t * VROWS
-        gt = (off_ref[c] + g) * TPB + t
+        gt = (off_ref[c] + g) * tpb + t
         col = m_ref[t:t + 1, :]
         sid = sid_ref[gt] - slo_ref[c]
         p_raw = pane_ref[gt] - plo_ref[c]
@@ -135,16 +135,16 @@ def _ranged_kernel(off_ref, slo_ref, plo_ref, pane_ref, sid_ref,
             o_ref[0, pl.ds(sid * B, B), :] + pacc
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _sbell_call(args, n_tiles, n_stripes, n_panes):
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _sbell_call(args, n_tiles, n_stripes, n_panes, tpb):
     pane, sid, vflat, meta, x3 = args
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles // TPB,),
+        grid=(n_tiles // tpb,),
         in_specs=[
-            pl.BlockSpec((TPB * VROWS, LANE), lambda g, *_: (g, 0),
+            pl.BlockSpec((tpb * VROWS, LANE), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TPB, LANE), lambda g, *_: (g, 0),
+            pl.BlockSpec((tpb, LANE), lambda g, *_: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # x panes, resident
         ],
@@ -154,7 +154,7 @@ def _sbell_call(args, n_tiles, n_stripes, n_panes):
     # square chain can feed it straight back as the next guarded x panes
     # with ZERO wrapper ops (they are zero-initialized, never written)
     return pl.pallas_call(
-        _kernel,
+        partial(_kernel, tpb=tpb),
         out_shape=jax.ShapeDtypeStruct(
             ((n_stripes + W_PANES - 1) * B, LANE), jnp.float32),
         grid_spec=grid_spec,
@@ -257,7 +257,7 @@ def _chunk_plan(sb: SBELL, force_spc: int | None = None):
                     "route to the far path) or raise the cap")
             spc //= 2
     n_grp = -(-sb.n_stripes // spc)
-    G = sb.n_tiles // TPB
+    G = sb.n_tiles // sb.tpb
     win_panes = W_PANES
     raw = []
     for g in range(n_grp):
@@ -278,12 +278,13 @@ def _chunk_plan(sb: SBELL, force_spc: int | None = None):
     # predicated off in-kernel), so one compiled kernel serves all chunks
     # and no operand is ever sliced-and-padded (round-3: those pad copies
     # doubled the 79M-nnz chunked traffic)
-    gsteps = max((-(-t1 // TPB)) - (t0 // TPB)
+    tpb = sb.tpb
+    gsteps = max((-(-t1 // tpb)) - (t0 // tpb)
                  for t0, t1, _, _ in raw) or 1
     gsteps = min(gsteps, G)
     bounds = []
     for (t0, t1, s_lo, p_lo) in raw:
-        g0 = min(max(t0 // TPB, 0), G - gsteps)
+        g0 = min(max(t0 // tpb, 0), G - gsteps)
         bounds.append((g0, s_lo, p_lo))
     plan = (spc, win_panes, gsteps, tuple(bounds))
     if force_spc is None:
@@ -291,18 +292,18 @@ def _chunk_plan(sb: SBELL, force_spc: int | None = None):
     return plan
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _sbell_call_ranged(args, n_chunks, gsteps, spc, win):
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _sbell_call_ranged(args, n_chunks, gsteps, spc, win, tpb):
     off, slo, plo, pane, sid, vflat, meta, x3p = args
     orows = (spc + W_PANES - 1) * B
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_chunks, gsteps),
         in_specs=[
-            pl.BlockSpec((TPB * VROWS, LANE),
+            pl.BlockSpec((tpb * VROWS, LANE),
                          lambda c, g, off, *_: (off[c] + g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TPB, LANE),
+            pl.BlockSpec((tpb, LANE),
                          lambda c, g, off, *_: (off[c] + g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # x panes stay in HBM
@@ -314,7 +315,7 @@ def _sbell_call_ranged(args, n_chunks, gsteps, spc, win):
                         pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
-        partial(_ranged_kernel, spc=spc, win=win),
+        partial(_ranged_kernel, spc=spc, win=win, tpb=tpb),
         out_shape=jax.ShapeDtypeStruct((n_chunks, orows, LANE),
                                        jnp.float32),
         grid_spec=grid_spec,
@@ -348,7 +349,7 @@ def _sbell_chunked(sb: SBELL, x3, plan=None):
         off, slo, plo = bounds[:, 0], bounds[:, 1], bounds[:, 2]
     out = _sbell_call_ranged(
         (off, slo, plo, sb.pane, sb.sid, sb.vflat, sb.meta, x3p),
-        n_chunks, gsteps, spc, win)
+        n_chunks, gsteps, spc, win, sb.tpb)
     # full chunks hold exactly spc stripes; the tail chunk is sliced by
     # the global stripe count
     y = out[:, :spc * B, :].reshape(n_chunks * spc * B, LANE)
@@ -392,7 +393,7 @@ def sbell_spmv_panes(sb: SBELL, x3: jax.Array, chunk_plan=None
         out = _sbell_chunked(sb, x3, chunk_plan)
     else:
         out = _sbell_call((sb.pane, sb.sid, sb.vflat, sb.meta, x3),
-                          sb.n_tiles, sb.n_stripes, sb.n_panes)
+                          sb.n_tiles, sb.n_stripes, sb.n_panes, sb.tpb)
     if isinstance(sb.far, FarGrouped):
         out = out + far_grouped_out_panes(sb.far, x3)
     elif sb.far is not None:

@@ -49,7 +49,7 @@ def _unified_chunk_plans(sbs, n_panes: int):
     plans = [spmv_pallas._chunk_plan(sb, force_spc=spc) for sb in sbs]
     win = max(p[1] for p in plans)
     gsteps = max(p[2] for p in plans)
-    G = sbs[0].n_tiles // TPB
+    G = sbs[0].n_tiles // sbs[0].tpb
     n_chunks = -(-sl // spc)
     bounds = np.zeros((len(sbs), n_chunks, 3), np.int32)
     for s, p in enumerate(plans):
@@ -123,6 +123,7 @@ class DistSBELL:
     # (spc, win, gsteps) chunk statics shared by all shards, or None
     diag_chunk: tuple = dataclasses.field(metadata=dict(static=True))
     offd_chunk: tuple = dataclasses.field(metadata=dict(static=True))
+    tpb: int = dataclasses.field(default=TPB, metadata=dict(static=True))
 
     @property
     def rows_local(self) -> int:
@@ -223,6 +224,7 @@ class DistSBELL:
             shape=(nr, nc), n_shards=n_shards,
             stripes_local=stripes_local, has_far=has_far,
             diag_chunk=diag_chunk, offd_chunk=offd_chunk,
+            tpb=diags[0].tpb,
         )
 
     def shard(self, mesh: Mesh, axis: str = "x") -> "DistSBELL":
@@ -256,13 +258,13 @@ def dist_sbell_spmv_fn(A: DistSBELL, mesh: Mesh, axis: str = "x"):
         sb_d = SBELL(vflat=dv[0], meta=dm[0], pane=dp[0], sid=ds[0],
                      far=None,
                      shape=(rows_local, rows_local), n_stripes=sl,
-                     n_panes=rows_local // 1024)
+                     n_panes=rows_local // 1024, tpb=A.tpb)
         plan_d = None if A.diag_chunk is None else (*A.diag_chunk, db[0])
         y = sbell_spmv(sb_d, x_l, plan_d)
         sb_o = SBELL(vflat=ov[0], meta=om[0], pane=op_[0], sid=os_[0],
                      far=None,
                      shape=(rows_local, nc), n_stripes=sl,
-                     n_panes=nc // 1024)
+                     n_panes=nc // 1024, tpb=A.tpb)
         plan_o = None if A.offd_chunk is None else (*A.offd_chunk, ob[0])
         y = y + sbell_spmv(sb_o, xg, plan_o)
         if A.has_far:

@@ -185,6 +185,10 @@ class SBELL:
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     n_stripes: int = dataclasses.field(metadata=dict(static=True))
     n_panes: int = dataclasses.field(metadata=dict(static=True))
+    # tiles per kernel grid step — per-OBJECT so the bf16 variant can run
+    # its own optimum (f32: 16; bf16: 32 — the halved per-step DMA shifts
+    # the fixed-cost balance, round-4 sweep)
+    tpb: int = dataclasses.field(default=TPB, metadata=dict(static=True))
 
     @property
     def n_tiles(self) -> int:
@@ -208,7 +212,7 @@ class SBELL:
                 + self.n_stripes * STRIPE_ROWS * 4
                 + far)
 
-    def astype_values(self, dtype) -> "SBELL":
+    def astype_values(self, dtype, tpb: int | None = None) -> "SBELL":
         """Value-stream precision variant (ROADMAP #7): cast the stored
         values — 80%+ of hbm_bytes on cant/pwtk — to `dtype` (bf16
         halves the dominant HBM stream; the kernel and the far einsums
@@ -221,8 +225,26 @@ class SBELL:
         if far is not None:
             far = dataclasses.replace(far,
                                       blocks=far.blocks.astype(dtype))
-        return dataclasses.replace(
+        out = dataclasses.replace(
             self, vflat=self.vflat.astype(dtype), far=far)
+        if tpb is not None and tpb != self.tpb:
+            out = out.retile(tpb)
+        return out
+
+    def retile(self, tpb: int) -> "SBELL":
+        """Re-pad the tile stream for a different tiles-per-grid-step
+        (extra tiles are zero-valued, stripe 0 — inert under the
+        accumulate)."""
+        n_tiles = self.n_tiles
+        new_pad = -(-n_tiles // tpb) * tpb
+        extra = new_pad - n_tiles
+        return dataclasses.replace(
+            self,
+            vflat=jnp.pad(self.vflat, ((0, extra * VROWS), (0, 0))),
+            meta=jnp.pad(self.meta, ((0, extra), (0, 0))),
+            pane=jnp.pad(self.pane, (0, extra)),
+            sid=jnp.pad(self.sid, (0, extra)),
+            tpb=tpb)
 
     def fill_ratio(self, nnz: int) -> float:
         return self.nnz_stored / max(nnz, 1)
@@ -235,12 +257,16 @@ class SBELL:
         return self.far.n_far / max(self.far.n_far + self.n_tiles * LANE, 1)
 
     @staticmethod
-    def from_scipy(A, group_far: bool = True) -> "SBELL":
+    def from_scipy(A, group_far: bool = True,
+                   tpb: int | None = None) -> "SBELL":
         """Host-side construction from any scipy.sparse matrix.
 
         group_far=False keeps the far set as flat FarBlocks (the scatter
         path) — the distributed builder needs the flat form to merge and
-        re-stack shards (parallel/dist_sbell.py)."""
+        re-stack shards (parallel/dist_sbell.py). tpb overrides the
+        tiles-per-grid-step (default: module TPB / LIBHPC_SBELL_TPB)."""
+        if tpb is None:
+            tpb = TPB
         import scipy.sparse as sps
 
         A = sps.csr_matrix(A)
@@ -314,7 +340,7 @@ class SBELL:
                 tiles.append((v, meta, best, s))
 
         n_tiles = max(len(tiles), 1)
-        n_tiles_pad = -(-n_tiles // TPB) * TPB
+        n_tiles_pad = -(-n_tiles // tpb) * tpb
         vflat = np.zeros((n_tiles_pad, VROWS, LANE), np.float32)
         metas = np.zeros((n_tiles_pad, LANE), np.int32)
         pane = np.zeros(n_tiles_pad, np.int32)
@@ -347,4 +373,5 @@ class SBELL:
             shape=(m, n),
             n_stripes=n_stripes,
             n_panes=n_panes,
+            tpb=tpb,
         )
