@@ -1,0 +1,82 @@
+"""Automatic format selection — one entry point for "just give me a fast
+matvec" users migrating from the reference's format-per-structure zoo
+(SURVEY.md §2.3-2.7; docs/MIGRATION.md).
+
+Heuristics follow the measured round 1-4 truths (PERF_NOTES):
+  * few distinct diagonals  -> DIA: VMEM-resident XLA form while the
+    working set fits (~100 MB), the Pallas streaming kernel past it
+    (176-225 Gnnz/s at any size);
+  * narrow per-slice pane windows -> SELL (the Pallas lane-gather ELL,
+    11-23 Gnnz/s — banded scalar structure without 8x8 blocks);
+  * everything else -> SBELL (the flagship block path, ~0.9-1.0 of the
+    HBM roofline on FEM matrices; bf16 value stream optional).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# past this working set the XLA DIA forms leave VMEM residency and
+# collapse; the Pallas kernel takes over (PERF_NOTES round 4)
+_DIA_VMEM_BYTES = 100 * 1024 * 1024
+_DIA_MAX_OFFSETS = 96          # matches ops/spmv.py MAX_DIA_OFFSETS
+
+
+def auto_format(A, prefer_bf16: bool = False):
+    """Pick a container + matvec for a scipy sparse matrix.
+
+    Returns (container, matvec) where matvec(container, x) -> y and the
+    container is one of DIA / DiaPallas / SELL / SBELL."""
+    import scipy.sparse as sps
+
+    A = sps.csr_matrix(A)
+    m, n = A.shape
+
+    # --- structured? count distinct diagonals ---------------------------
+    coo = A.tocoo()
+    diags = np.unique(coo.col.astype(np.int64) - coo.row)
+    if diags.size <= _DIA_MAX_OFFSETS:
+        from libhpc_tpu.sparse.dia import DIA
+
+        dia = DIA.from_scipy(A)
+        work = dia.data.size * 4 + (m + n) * 4
+        if work <= _DIA_VMEM_BYTES:
+            from libhpc_tpu.ops.spmv import dia_spmv
+
+            return dia, dia_spmv
+        from libhpc_tpu.ops.dia_pallas import dia_spmv_pallas
+
+        return dia.to_pallas(), dia_spmv_pallas
+
+    # --- 8x8-block-dense (FEM-class)? the flagship SBELL wins -----------
+    blockish = False
+    try:
+        bsr = A.tobsr((8, 8))
+        blockish = A.nnz >= 0.5 * 64 * bsr.indices.size
+    except Exception:  # noqa: BLE001 — shape not divisible etc.
+        pass
+
+    # --- scalar-regular with narrow windows? SELL -----------------------
+    if not blockish:
+        try:
+            from libhpc_tpu.ops.ell_pallas import sell_from_scipy, sell_spmv
+
+            lens = np.diff(A.indptr)
+            k = int(lens.max()) if lens.size else 0
+            # ELL fill must stay sane or the rectangle wastes bandwidth
+            if k and k * m <= 4 * max(A.nnz, 1):
+                return sell_from_scipy(A), sell_spmv
+        except ValueError:
+            pass    # windows too wide -> fall through to SBELL
+
+    # --- the flagship unstructured path ---------------------------------
+    from libhpc_tpu.ops.spmv_pallas import sbell_spmv
+    from libhpc_tpu.sparse.sbell import SBELL
+
+    sb = SBELL.from_scipy(A)
+    if prefer_bf16:
+        import jax.numpy as jnp
+
+        sb = sb.astype_values(jnp.bfloat16)
+    return sb, sbell_spmv
