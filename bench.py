@@ -503,24 +503,44 @@ def main():
                     x_b, (0, sb_b.n_panes * 1024 - nb)))
 
                 # sb as a JIT ARGUMENT (operand=) — closing over 400 MB
-                # embeds it in the remote compile payload (HTTP 413)
-                per = harness.time_iterated(
-                    lambda v, sbv: sbell_spmv_panes(sbv, v,
-                                                    chunk_plan=plan),
-                    x3_b, iters=12, iters_small=2, operand=sb_b)
+                # embeds it in the remote compile payload (HTTP 413).
+                # retry + physical floor: a collapsed delta once reported
+                # 0.2 ms / fraction 4.0 here (run 12) — readings faster
+                # than 1.2 TB/s of model traffic are impossible
                 rd_b, wr_b = harness.format_spmv_rw_bytes(
                     "sbell", sb_b, mb, nb)
+                pers_b = []
+                for _ in range(4):
+                    try:
+                        p_ = harness.time_iterated(
+                            lambda v, sbv: sbell_spmv_panes(
+                                sbv, v, chunk_plan=plan),
+                            x3_b, iters=12, iters_small=2, operand=sb_b)
+                    except Exception:  # noqa: BLE001
+                        continue
+                    if p_ > (rd_b + wr_b) / 1.2e12:
+                        pers_b.append(p_)
+                    if len(pers_b) >= 3:
+                        break
+                # MEDIAN: min-selection would crown a partial delta
+                # collapse; median of 3 is robust to one bad draw
+                per = sorted(pers_b)[len(pers_b) // 2] if pers_b else None
                 sol_b = harness.mixed_speed_of_light(bw_read, bw_rw,
                                                      rd_b, wr_b)
-                scale["sbell_100m"] = dict(
-                    nnz_m=round(A_b.nnz / 1e6, 1),
-                    ms=round(per * 1e3, 2),
-                    gnnz_per_s=round(A_b.nnz / per / 1e9, 2),
-                    own_bytes_fraction=round(
-                        (rd_b + wr_b) / per / sol_b, 4),
-                    chunked=chunked,
-                    n_chunks=len(plan[3]) if chunked else 1,
-                    resident_mb=round(resident / 1e6, 1), correct=True)
+                if per is None:
+                    scale["sbell_100m"] = dict(
+                        error="no plausible reading")
+                else:
+                    scale["sbell_100m"] = dict(
+                        nnz_m=round(A_b.nnz / 1e6, 1),
+                        ms=round(per * 1e3, 2),
+                        gnnz_per_s=round(A_b.nnz / per / 1e9, 2),
+                        own_bytes_fraction=round(
+                            (rd_b + wr_b) / per / sol_b, 4),
+                        chunked=chunked,
+                        n_chunks=len(plan[3]) if chunked else 1,
+                        resident_mb=round(resident / 1e6, 1),
+                        correct=True)
             else:
                 scale["sbell_100m"] = dict(error="incorrect result")
             del A_b, sb_b
