@@ -148,6 +148,18 @@ def amg_setup(A, n_levels: int = 3, theta: float = 0.25,
     on Poisson-class operators at the cost of a denser transfer (the
     jittable apply then uses CSR SpMV for P/P^T instead of the
     gather/segment-sum of piecewise-constant transfers)."""
+    # _cycle's first sweep comes from the zero initial guess (pre-1 more
+    # follow), so pre >= 1 is structural; and the V-cycle is only SPD —
+    # and hence a valid CG preconditioner for pcg_op — when the smoothing
+    # is symmetric, i.e. pre == post (ADVICE r4)
+    if pre < 1 or post < 1:
+        raise ValueError(f"amg_setup: pre/post sweeps must be >= 1 "
+                         f"(got pre={pre}, post={post})")
+    if pre != post:
+        raise ValueError(
+            f"amg_setup: pre ({pre}) != post ({post}) makes the V-cycle "
+            "non-symmetric — not a valid CG preconditioner; use equal "
+            "sweep counts")
     import scipy.sparse as sps
 
     A_l = sps.csr_matrix(A).astype(np.float32)

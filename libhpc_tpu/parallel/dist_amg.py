@@ -35,6 +35,16 @@ def dist_amg_build(A, mesh: Mesh, n_shards: int, axis: str = "x",
     """Host-side setup. Returns (vcycle, matvec, b_shard) where vcycle is
     the SPD preconditioner operator over sharded padded vectors, matvec
     the distributed fine operator, and b_shard pads+shards a host rhs."""
+    # pre >= 1 is structural (the first sweep starts from the zero
+    # guess); pre == post keeps the V-cycle SPD — a requirement for its
+    # role as the CG preconditioner (ADVICE r4, as in amg_setup)
+    if pre < 1 or post < 1:
+        raise ValueError(f"dist_amg_build: pre/post sweeps must be >= 1 "
+                         f"(got pre={pre}, post={post})")
+    if pre != post:
+        raise ValueError(
+            f"dist_amg_build: pre ({pre}) != post ({post}) makes the "
+            "V-cycle non-symmetric — not a valid CG preconditioner")
     import scipy.sparse as sps
 
     A = sps.csr_matrix(A).astype(np.float32)

@@ -34,9 +34,15 @@ def auto_format(A, prefer_bf16: bool = False):
     m, n = A.shape
 
     # --- structured? count distinct diagonals ---------------------------
+    # gate on diagonal FILL too (ADVICE r4): a scatter of nnz along <=96
+    # long offsets would build a dense m*D DIA container streaming orders
+    # of magnitude more bytes per matvec than SELL/SBELL; require each
+    # stored diagonal to be ~quarter-populated on average before paying
+    # for the rectangle
     coo = A.tocoo()
     diags = np.unique(coo.col.astype(np.int64) - coo.row)
-    if diags.size <= _DIA_MAX_OFFSETS:
+    dia_fill_ok = A.nnz >= 0.25 * diags.size * min(m, n)
+    if diags.size <= _DIA_MAX_OFFSETS and dia_fill_ok:
         from libhpc_tpu.sparse.dia import DIA
 
         dia = DIA.from_scipy(A)
@@ -50,12 +56,13 @@ def auto_format(A, prefer_bf16: bool = False):
         return dia.to_pallas(), dia_spmv_pallas
 
     # --- 8x8-block-dense (FEM-class)? the flagship SBELL wins -----------
-    blockish = False
-    try:
-        bsr = A.tobsr((8, 8))
-        blockish = A.nnz >= 0.5 * 64 * bsr.indices.size
-    except Exception:  # noqa: BLE001 — shape not divisible etc.
-        pass
+    # block fill estimated from COORDINATES (unique touched 8x8 blocks),
+    # NOT via A.tobsr((8,8)) — on a large scattered matrix tobsr
+    # densifies up to 64x host-side before the heuristic can reject it
+    # (VERDICT r4 #7)
+    n_blocks = np.unique((coo.row.astype(np.int64) >> 3) * (-(-n // 8))
+                         + (coo.col.astype(np.int64) >> 3)).size
+    blockish = A.nnz >= 0.5 * 64 * max(n_blocks, 1)
 
     # --- scalar-regular with narrow windows? SELL -----------------------
     if not blockish:

@@ -103,3 +103,15 @@ def test_amg_smoothed_aggregation_fewer_iters():
     np.testing.assert_allclose(np.asarray(x1), expect, rtol=2e-3,
                                atol=2e-3)
     assert int(it1) < int(it0)
+
+
+def test_amg_setup_rejects_invalid_sweeps():
+    """pre/post validation (ADVICE r4): pre=0 silently behaved as pre=1,
+    and pre != post breaks the SPD property pcg_op relies on."""
+    import pytest
+
+    A = matrices.poisson2d(32)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        amg.amg_setup(A, n_levels=2, pre=0, post=0)
+    with pytest.raises(ValueError, match="non-symmetric"):
+        amg.amg_setup(A, n_levels=2, pre=1, post=2)
