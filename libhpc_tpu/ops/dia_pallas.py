@@ -147,6 +147,68 @@ def _dia_call(dflat, x_ext, coffs, T, span_pad, n_tiles):
     )(dflat, x_ext)
 
 
+def _probe_kernel(d_ref, x_any, o_ref, xs, sem, *, D, T, span_pad):
+    """Pattern-matched speed-of-light probe (VERDICT r4 #3): the same
+    access pattern as _kernel — D diagonal planes streamed per tile
+    through the grid pipeline, one x window DMA, one output write — with
+    the cheapest compute that still touches every byte (plane adds, no
+    rolls/selects). Its achieved GB/s over the SAME byte model is the
+    defensible denominator for the DIA fraction: generic stream probes
+    undercut what a Pallas plane-streaming kernel can pull (719 vs 913+
+    GB/s, PERF_NOTES round 4 probe physics)."""
+    g = pl.program_id(0)
+    Tr = T // LANE
+    sr = span_pad // LANE
+    cp = pltpu.make_async_copy(
+        x_any.at[pl.ds(g * Tr, Tr + sr)], xs, sem)
+    cp.start()
+    cp.wait()
+    acc = xs[0:Tr] + xs[sr:sr + Tr]       # touch the full window
+    for d in range(D):
+        acc = acc + d_ref[d * Tr:(d + 1) * Tr, :]
+    o_ref[:] = acc
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _dia_probe_call(dflat, x_ext, D, T, span_pad, n_tiles):
+    Tr = T // LANE
+    wrows = (T + span_pad) // LANE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((D * Tr, LANE), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((Tr, LANE), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((wrows, LANE), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        partial(_probe_kernel, D=D, T=T, span_pad=span_pad),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * Tr, LANE), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret_mode(),
+    )(dflat, x_ext)
+
+
+def dia_pattern_probe(dp: DiaPallas, x: jax.Array) -> jax.Array:
+    """Run the pattern-matched probe over dp's exact operands. Returns a
+    (n_tiles*T/128, 128) array; time it with the same harness as
+    dia_spmv_pallas — fraction = t_probe / t_kernel, and the probe's
+    dp.hbm_bytes / t is the access-pattern speed-of-light in GB/s."""
+    m, n = dp.shape
+    n_tiles = dp.n_tiles
+    L = max(dp.x_pad_lo + n_tiles * dp.T + dp.span_pad,
+            -(-(dp.x_pad_lo + n) // LANE) * LANE)
+    x_ext = jnp.pad(x, (dp.x_pad_lo, L - dp.x_pad_lo - n))
+    x2 = x_ext.reshape(L // LANE, LANE)
+    return _dia_probe_call(dp.dflat, x2, len(dp.coffs), dp.T,
+                           dp.span_pad, n_tiles)
+
+
 def dia_spmv_pallas(dp: DiaPallas, x: jax.Array) -> jax.Array:
     """y = A @ x for a DiaPallas operand; x f32 (ncols,) -> f32 (nrows,)."""
     m, n = dp.shape

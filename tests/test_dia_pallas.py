@@ -59,3 +59,38 @@ def test_dia_pallas_wide_rect():
     A = sps.diags([np.ones(m)], [0], shape=(m, n), format="csr",
                   dtype=np.float32)
     _check(A)
+
+
+def test_dia_pattern_probe_matches_model():
+    """The speed-of-light probe must touch the same operands as the
+    kernel and produce a deterministic, finite result: out = sum of
+    diagonal planes + two window reads (an exact oracle in numpy)."""
+    import jax.numpy as jnp
+
+    from libhpc_tpu.ops.dia_pallas import (DiaPallas, dia_pattern_probe,
+                                           LANE)
+    from libhpc_tpu.sparse import DIA
+
+    A = matrices.poisson2d(64)
+    dp = DiaPallas.from_dia(DIA.from_scipy(A), T=1 << 12)
+    n = A.shape[1]
+    x = np.linspace(-1, 1, n).astype(np.float32)
+    out = np.asarray(dia_pattern_probe(dp, jnp.asarray(x)))
+    assert np.isfinite(out).all()
+    # oracle: per tile g, acc = xs[0:Tr] + xs[sr:sr+Tr] + sum_d planes
+    D = len(dp.coffs)
+    Tr = dp.T // LANE
+    sr = dp.span_pad // LANE
+    n_tiles = dp.n_tiles
+    L = max(dp.x_pad_lo + n_tiles * dp.T + dp.span_pad,
+            -(-(dp.x_pad_lo + n) // LANE) * LANE)
+    xe = np.zeros(L, np.float32)
+    xe[dp.x_pad_lo:dp.x_pad_lo + n] = x
+    x2 = xe.reshape(-1, LANE)
+    dflat = np.asarray(dp.dflat).reshape(n_tiles, D, Tr, LANE)
+    for g in range(n_tiles):
+        exp = (x2[g * Tr:g * Tr + Tr]
+               + x2[g * Tr + sr:g * Tr + sr + Tr]
+               + dflat[g].sum(axis=0))
+        np.testing.assert_allclose(out[g * Tr:(g + 1) * Tr], exp,
+                                   rtol=1e-5, atol=1e-5)
