@@ -235,18 +235,24 @@ def _sell_call(args, n_tiles, n_stripes, n_panes, W):
     )
     # W-1 zero guard stripes ride at the end (same chaining convention as
     # SBELL: output pane layout IS the next x pane layout)
+    from libhpc_tpu.ops.spmv_pallas import VMEM_LIMIT
+
     return pl.pallas_call(
         partial(_kernel, W=W),
         out_shape=jax.ShapeDtypeStruct(
             ((n_stripes + W - 1) * B, LANE), jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret_mode(),
     )(pane, sid, vflat, cflat, x3)
 
 
-# resident x panes + output must fit the scoped-VMEM budget (no chunked
-# variant here — SBELL has one; SELL matrices that big should use it)
-VMEM_CAP = 14 * 1024 * 1024
+# resident x panes + output must fit the raised scoped-VMEM budget (same
+# limit as SBELL; no chunked variant here — SBELL has one, and SELL
+# matrices past ~90 MB of panes+output should use it)
+VMEM_CAP = int(__import__("os").environ.get(
+    "LIBHPC_SBELL_VMEM_CAP", str(96 * 1024 * 1024)))
 
 
 def _guard_resident(n_panes, n_stripes, W):

@@ -27,14 +27,19 @@ y = A @ x for an SBELL matrix (sparse/sbell.py, v4 row-slice layout):
   the far-block count.
 
 VMEM budget: 2x(TPB*65) KB value+meta stream + 4(n_panes+1) KB x +
-4*n_stripes KB y. Matrices whose x-panes + output exceed the VMEM cap
-(LIBHPC_SBELL_VMEM_CAP, default 14 MB — XLA's scoped-vmem kernel limit
-is 16 MB, far below physical VMEM) are automatically row-chunked
-(VERDICT r2 #5): stripes are grouped so each group's pane window + output
-slice fit in VMEM, and one pallas_call runs per group (uniform shapes —
-single compilation) — this is what makes the 100M-nnz configs[4] scale
-run on one chip. The chunk plan needs host-side pane metadata, so the
-chunked path cannot be called under jit (the resident path can).
+4*n_stripes KB y. The kernels are compiled with a RAISED Mosaic scoped-
+vmem limit (LIBHPC_SBELL_VMEM_LIMIT, default 100 MB — v5e has 128 MB of
+physical VMEM; XLA's 16 MB default scoped limit is a compiler knob, not
+hardware: round-5 measured the resident kernel correct at 64 MB resident
+and 800 GB/s model-rate at the 100M-nnz configs[4] scale, where the old
+14 MB cap forced a 2-chunk run at HALF that rate — BENCH_r04's 0.52
+fraction attributed). Matrices whose x-panes + output exceed the cap
+(LIBHPC_SBELL_VMEM_CAP, default 96 MB) are still automatically
+row-chunked (VERDICT r2 #5): stripes are grouped so each group's pane
+window + output slice fit the cap, and one pallas_call runs per group
+(uniform shapes — single compilation). The chunk plan needs host-side
+pane metadata, so the chunked path cannot be called under jit (the
+resident path can).
 """
 
 from __future__ import annotations
@@ -158,19 +163,26 @@ def _sbell_call(args, n_tiles, n_stripes, n_panes, tpb):
         out_shape=jax.ShapeDtypeStruct(
             ((n_stripes + W_PANES - 1) * B, LANE), jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret_mode(),
     )(pane, sid, vflat, meta, x3)
 
 
-# resident x-panes + output VMEM budget (bytes); beyond it sbell_spmv
-# row-chunks automatically. XLA bounds a kernel's VMEM-resident operands
-# by the SCOPED vmem limit (16 MB default on this toolchain — a 633M-nnz
-# run failed compile at 49.9 MB resident, not at the 128 MB physical
-# VMEM), so the cap defaults to 14 MB (a 13 MB-resident 79M-nnz run
-# compiles and hits 0.70 of roofline), leaving ~1 MB margin for the
-# double-buffered value/meta stream + scratch.
+# Mosaic scoped-vmem limit the kernels compile with. The 16 MB toolchain
+# default (which failed a 633M-nnz compile at 49.9 MB resident in r2 and
+# forced the 14 MB chunking cap through r4) is a compiler knob — v5e has
+# 128 MB physical VMEM, and CompilerParams(vmem_limit_bytes=100MB) runs
+# the resident kernel correct at 64 MB resident (round 5,
+# scripts/exp_r5_vmem.py: 8M rows / 395.7M nnz, 134 Gnnz/s).
+VMEM_LIMIT = int(__import__("os").environ.get(
+    "LIBHPC_SBELL_VMEM_LIMIT", str(100 * 1024 * 1024)))
+
+# resident x-panes + output budget (bytes); beyond it sbell_spmv
+# row-chunks automatically. Defaults to VMEM_LIMIT minus a 4 MB margin
+# for the double-buffered value/meta stream + scratch.
 VMEM_CAP = int(__import__("os").environ.get(
-    "LIBHPC_SBELL_VMEM_CAP", str(14 * 1024 * 1024)))
+    "LIBHPC_SBELL_VMEM_CAP", str(VMEM_LIMIT - 4 * 1024 * 1024)))
 
 
 def _resident_bytes(n_stripes: int, n_panes: int) -> int:
@@ -319,6 +331,8 @@ def _sbell_call_ranged(args, n_chunks, gsteps, spc, win, tpb):
         out_shape=jax.ShapeDtypeStruct((n_chunks, orows, LANE),
                                        jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret_mode(),
     )(off, slo, plo, pane, sid, vflat, meta, x3p)
 

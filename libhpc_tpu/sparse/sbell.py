@@ -53,6 +53,20 @@ TPB = int(__import__("os").environ.get("LIBHPC_SBELL_TPB", "16"))
                    # 30% — 45 vs 64 ns/tile — and 32 regresses for f32;
                    # scripts/exp_sbell_attrib.py TPB sweep, round 3; env
                    # knob for the bf16 sweep, round 4)
+TPB_BF16 = int(__import__("os").environ.get("LIBHPC_SBELL_TPB_BF16", "32"))
+                   # 2-byte value streams default to a 2x-deeper grid
+                   # step (same 540 KB per-step transfer as f32@16): at
+                   # TPB=16 the halved per-step DMA left the grid
+                   # pipeline latency-bound at ~25-34 ns/tile — the
+                   # committed 0.54-of-roofline bf16 fraction (BENCH_r04).
+                   # Round-5 attribution (scripts/exp_r5_bf16.py:
+                   # mincompute==full at tpb>=32, so NOT compute-bound)
+                   # and the 10-round interleaved sweep
+                   # (exp_r5_bf16_tpb.py: cant 25.1/16.7/19.2, pwtk
+                   # 33.7/26.8/~24 ns per REAL tile at tpb 16/32/64) put
+                   # bf16@32 at >=0.88 of its own-byte model with
+                   # 1.8-2.4x the f32 Gnnz/s; 64 wins slightly on pwtk
+                   # but pads +6.7% tiles on cant (480 -> 512).
 W_PANES = 3        # x panes a tile may span (static gather passes): a
                    # slice of 128 consecutive block-rows spans ~128+band
                    # block-cols, which can straddle two pane boundaries
@@ -220,13 +234,20 @@ class SBELL:
         operator applied in f32: error vs the f32 operator is bounded by
         bf16's 2^-8 relative value rounding). Far blocks are cast too so
         the quantization is uniform (testable against a quantized scipy
-        oracle); FarGrouped's one-hot slot matrix stays f32."""
+        oracle); FarGrouped's one-hot slot matrix stays f32.
+
+        tpb defaults to TPB_BF16 for 2-byte dtypes (the halved per-step
+        DMA leaves the grid pipeline latency-bound at the f32 TPB —
+        round-5 attribution, see TPB_BF16 above); pass tpb explicitly to
+        override."""
         far = self.far
         if far is not None:
             far = dataclasses.replace(far,
                                       blocks=far.blocks.astype(dtype))
         out = dataclasses.replace(
             self, vflat=self.vflat.astype(dtype), far=far)
+        if tpb is None and jnp.dtype(dtype).itemsize == 2:
+            tpb = TPB_BF16
         if tpb is not None and tpb != self.tpb:
             out = out.retile(tpb)
         return out
