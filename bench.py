@@ -131,6 +131,13 @@ def main():
 
     sell = sell_from_ell(ell)
 
+    # SELL-P: the round-5 redesign (per-row-sourced planes, one lane
+    # shuffle + one FMA per (8,128) — ops/sellp.py); supersedes the
+    # rotation-gather kernel as the scalar-ELL headline
+    from libhpc_tpu.ops.sellp import sellp_from_scipy, sellp_spmv
+
+    sellp = sellp_from_scipy(A_s)
+
     # ---- correctness gates before timing ---------------------------------
     def close(y, ref, tol=2e-3):
         return bool(np.allclose(np.asarray(y), ref, rtol=tol, atol=tol))
@@ -140,6 +147,7 @@ def main():
     ok_s = (close(spmv.dia_spmv(dia, x_s), y_s_ref)
             and close(spmv.ell_spmv(ell, x_s), y_s_ref))
     ok_sell = close(sell_spmv(sell, x_s), y_s_ref)
+    ok_sellp = close(sellp_spmv(sellp, x_s), y_s_ref)
     # bf16 paths gate against the bf16-QUANTIZED operator (the kernel
     # accumulates f32; values are rounded once at storage)
     y16_u = sbell_spmv(sb16, x_u)
@@ -212,13 +220,16 @@ def main():
                                                          mp_, np2), 128),
         "sell_poisson": (lambda x: sell_spmv(sell, x), x_s, A_s.nnz,
                          (sell.hbm_bytes - sell_wr, sell_wr), 64),
+        "sellp_poisson": (lambda x: sellp_spmv(sellp, x), x_s, A_s.nnz,
+                          (sellp.hbm_bytes - sell_wr, sell_wr), 128),
         "ell_poisson": (lambda x: spmv.ell_spmv(ell, x), x_s, A_s.nnz,
                         harness.format_spmv_rw_bytes("ell", ell,
                                                      *A_s.shape), 8),
     }
     ok_by_path = {"sbell_cant": ok_u, "sbell_pwtk": ok_p,
                   "sbell_cant_bf16": ok_u16, "sbell_pwtk_bf16": ok_p16,
-                  "sell_poisson": ok_sell, "ell_poisson": ok_s}
+                  "sell_poisson": ok_sell, "sellp_poisson": ok_sellp,
+                  "ell_poisson": ok_s}
     # attempts run ROUND-ROBIN across paths: relay slowdowns come in
     # minutes-long windows, and back-to-back attempts on one path all
     # land in the same window (run 4: five consecutive cant attempts
@@ -466,7 +477,7 @@ def main():
 
     # free the Poisson/pwtk operands before the 500M sort + 100M scale
     # sections (paths' lambdas close over them, so the dict must go too)
-    del paths, raw, ell, csr, sell
+    del paths, raw, ell, csr, sell, sellp
 
     # ---- flagship sort (the reference's published headline) --------------
     # 500M u32 end-to-end; on-device data. Wall-clock best-of-3 PLUS the
@@ -585,6 +596,72 @@ def main():
             scale["sbell_100m"] = dict(skipped_for_time=True)
     except Exception as e:  # noqa: BLE001
         scale["sbell_100m"] = dict(error=f"{type(e).__name__}: {e}"[:200])
+    # configs[4] SpGEMM, block path (VERDICT r4 #4): symbolic on 8x8
+    # block structure (host), numeric = gather + batched MXU block
+    # matmuls + sorted segment-sum. Wall time includes the host symbolic
+    # pass; device_s is the in-program numeric time (the scalar windowed
+    # entry below keeps the round-4 instrument for comparison).
+    try:
+        if elapsed() < SCALE_DEADLINE_S:
+            import scipy.sparse as sps_b
+
+            from libhpc_tpu.ops import spgemm_bsr as sgb
+            from libhpc_tpu.sparse import BSR
+
+            Ab_p = BSR.from_scipy(A_p, block=8)
+            lenB = np.diff(A_p.indptr).astype(np.int64)
+            S_exp = int(lenB[A_p.indices].sum())
+            t0 = time.perf_counter()
+            Cb = sgb.spgemm_bsr(Ab_p, Ab_p)
+            jax.block_until_ready(Cb.blocks)
+            t_wall = time.perf_counter() - t0
+            got = Cb.to_scipy().tocsr()
+            got.eliminate_zeros()
+            Cref_b = (sps_b.csr_matrix(Ab_p.to_scipy()) ** 2).tocsr()
+            Cref_b.eliminate_zeros()
+            dmax = abs(got - Cref_b).max() if (got - Cref_b).nnz else 0.0
+            ok_bg = dmax < 1e-2
+            if ok_bg:
+                # device-only numeric time: one pair chunk covers pwtk;
+                # A-blocks scaled by the carry for data dependence
+                ai = np.asarray(Ab_p.indices, np.int64)
+                ap = np.asarray(Ab_p.indptr, np.int64)
+                ia, ib, seg, out_r, _ = sgb._symbolic(
+                    ai, ap, ai, ap, Ab_p.shape[1] // 8)
+                n_out = max(int(out_r.size), 1)
+
+                def _dev_step(z, ops):
+                    blocks, ia_j, ib_j, seg_j = ops
+                    acc = sgb._numeric_chunk(
+                        blocks * z[0], blocks, ia_j, ib_j, seg_j,
+                        jnp.zeros((n_out, 8, 8), jnp.float32),
+                        n_out=n_out, mxu=True)
+                    return z + 1e-30 * jnp.sum(acc)
+
+                dev = retry(lambda: harness.time_iterated(
+                    _dev_step, jnp.ones((1,), jnp.float32),
+                    iters=6, iters_small=1,
+                    operand=(Ab_p.blocks, jnp.asarray(ia),
+                             jnp.asarray(ib), jnp.asarray(seg))),
+                    lambda p: p > 1e-5)
+                scale["spgemm_block_pwtk"] = dict(
+                    wall_s=round(t_wall, 3),
+                    device_s=round(dev, 4) if dev else None,
+                    g_products_per_s_wall=round(S_exp / t_wall / 1e9, 3),
+                    g_products_per_s_device=round(
+                        S_exp / dev / 1e9, 3) if dev else None,
+                    pairs_m=round(ia.size / 1e6, 2),
+                    nnzb_c=int(out_r.size),
+                    max_abs_err=float(dmax), correct=True)
+            else:
+                scale["spgemm_block_pwtk"] = dict(
+                    error="incorrect result", max_abs_err=float(dmax))
+            del Ab_p, Cb, got, Cref_b
+        else:
+            scale["spgemm_block_pwtk"] = dict(skipped_for_time=True)
+    except Exception as e:  # noqa: BLE001
+        scale["spgemm_block_pwtk"] = dict(
+            error=f"{type(e).__name__}: {e}"[:200])
     try:
         if elapsed() < SCALE_DEADLINE_S:
             from libhpc_tpu.ops.spgemm import spgemm_windowed

@@ -173,8 +173,8 @@ def format_spmv_rw_bytes(fmt, obj, nrows: int, ncols: int):
         wr = obj.n_stripes * 1024 * 4
         far = getattr(obj, "far", None)
         if far is not None:
-            if hasattr(far, "onehot"):   # FarGrouped: guarded output add
-                wr += far.onehot.shape[0] * 8 * 128 * 4
+            if hasattr(far, "oh"):       # FarPane: guarded output add
+                wr += far.n_grouped * 8 * 128 * 4
             else:                        # FarBlocks: touched y rows rmw
                 wr += far.n_far * 8 * 4
     else:

@@ -83,7 +83,8 @@ def far_spmv(far, x):
     nbr = far.shape[0] // b
     xb = x.reshape(-1, b)
     g = xb[far.cols]                              # (nf, b) row-gather
-    # precision="highest": same reason as _far_grouped_from_gather — the
+    # precision="highest": same reason as the far kernel's one-hot dot
+    # (ops/far_pallas.py) — the
     # MXU's default bf16 pass fails the 2e-3 gate, and this path is still
     # reachable (grouped-fallback stripes, group_far=False dist shards)
     # preferred f32: the bf16-value variant (SBELL.astype_values) must
@@ -93,40 +94,6 @@ def far_spmv(far, x):
                     precision="highest")
     out = jnp.zeros((nbr, b), yb.dtype).at[far.rows].add(yb)
     return out.reshape(-1)
-
-
-def far_grouped_out(farg, x):
-    """Far contribution in the SBELL near-kernel's output layout
-    (n_stripes*B, LANE) — scatter-free (sparse/sbell.py:FarGrouped).
-
-    gather x rows once per padded entry, batched block matvec, then a
-    one-hot batched matmul places each entry's 8-row product at its slot
-    lane; the caller adds the result to the kernel output elementwise."""
-    b = farg.blocks.shape[-1]
-    xb = x.reshape(-1, b)
-    g = xb[farg.cols]                             # (S, E, b) row-gather
-    return _far_grouped_from_gather(farg, g)
-
-
-def far_grouped_out_panes(farg, x3g):
-    """far_grouped_out reading x in PANE layout (n_panes, 8, 128) —
-    x[8c + j] = x3g[c >> 7, j, c & 127]; used by the pane-resident SpMV
-    chain (ops/spmv_pallas.py:sbell_spmv_panes)."""
-    g = x3g[farg.cols >> 7, :, farg.cols & 127]   # (S, E, b)
-    return _far_grouped_from_gather(farg, g)
-
-
-def _far_grouped_from_gather(farg, g):
-    # precision="highest": these batched matmuls ride the MXU, whose
-    # default bf16 pass loses ~4e-3 relative — enough to fail the 2e-3
-    # correctness gate (measured device-vs-host err 0.018 on cant)
-    prod = jnp.einsum("seij,sej->sei", farg.blocks, g,
-                      preferred_element_type=jnp.float32,
-                      precision="highest")
-    out = jnp.einsum("sei,ser->sir", prod, farg.onehot,
-                     preferred_element_type=jnp.float32,
-                     precision="highest")
-    return out.reshape(-1, farg.onehot.shape[-1])
 
 
 @jax.jit

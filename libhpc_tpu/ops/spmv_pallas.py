@@ -400,16 +400,23 @@ def sbell_spmv_panes(sb: SBELL, x3: jax.Array, chunk_plan=None
     the flat API cancel entirely (round-3 attribution: those ~8 XLA
     launches cost ~13 us around a 23 us kernel). Iterative solvers keep
     vectors in this layout across iterations."""
-    from libhpc_tpu.ops.spmv import far_grouped_out_panes
-    from libhpc_tpu.sparse.sbell import FarGrouped
+    from libhpc_tpu.sparse.sbell import FarPane
 
-    if _resident_bytes(sb.n_stripes, sb.n_panes) > VMEM_CAP:
+    chunked = _resident_bytes(sb.n_stripes, sb.n_panes) > VMEM_CAP
+    if chunked:
         out = _sbell_chunked(sb, x3, chunk_plan)
     else:
         out = _sbell_call((sb.pane, sb.sid, sb.vflat, sb.meta, x3),
                           sb.n_tiles, sb.n_stripes, sb.n_panes, sb.tpb)
-    if isinstance(sb.far, FarGrouped):
-        out = out + far_grouped_out_panes(sb.far, x3)
+    if isinstance(sb.far, FarPane):
+        from libhpc_tpu.ops.far_pallas import (far_pane_out_panes,
+                                               far_pane_out_panes_xla)
+
+        guarded = (sb.n_stripes + W_PANES - 1) * B
+        # the far kernel keeps x3 VMEM-resident like the near kernel; in
+        # the chunked regime fall back to the XLA form (no VMEM bound)
+        far_fn = far_pane_out_panes_xla if chunked else far_pane_out_panes
+        out = out + far_fn(sb.far, x3, guarded)
     elif sb.far is not None:
         from libhpc_tpu.ops.spmv import far_spmv
 

@@ -108,65 +108,104 @@ class FarBlocks:
                 + self.n_far * B * 4 + 3 * self.n_far * B * 4)
 
 
-def _group_far(rows, cols, blocks, n_stripes: int, shape):
-    """Build the stripe-grouped scatter-free far set (FarGrouped), or fall
-    back to the flat FarBlocks when one stripe hoards so many far blocks
-    that uniform padding would blow memory up >4x (+ slack).
+FAR_SPS = 8        # stripes per far-kernel grid step (ops/far_pallas.py)
 
-    The grouped arrays carry W_PANES-1 zero GUARD stripes so the far
-    contribution has the same guarded shape as the kernel output — the
-    far add is then a full-shape elementwise add with no pad op in the
-    chained pane-resident path."""
+
+def _group_far(rows, cols, blocks, n_stripes: int, shape):
+    """Build the stripe-grouped pane-plan far set (FarPane — consumed by
+    the Pallas far kernel, ops/far_pallas.py), or fall back to the flat
+    FarBlocks when one stripe hoards more than LANE far blocks (the
+    kernel packs a stripe's entries into 128 lanes) or uniform padding
+    would blow memory up >4x (+ slack).
+
+    The grouped arrays carry W_PANES-1 zero GUARD stripes (plus FAR_SPS
+    grid-step padding) so the far contribution has the same guarded shape
+    as the near-kernel output — the far add is then a full-shape
+    elementwise add with no pad op in the chained pane-resident path."""
     nf = rows.shape[0]
     stripe = rows // LANE
     slot = rows % LANE
     counts = np.bincount(stripe, minlength=n_stripes)
     E = int(counts.max()) if nf else 0
-    if E == 0 or n_stripes * E > 4 * nf + 4096:
+    if E == 0 or E > LANE or n_stripes * E > 4 * nf + 4096:
         return FarBlocks(rows=jnp.asarray(rows.astype(np.int32)),
                          cols=jnp.asarray(cols.astype(np.int32)),
                          blocks=jnp.asarray(blocks), shape=shape)
-    order = np.argsort(stripe, kind="stable")
-    pos = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    idx_in_stripe = np.arange(nf) - pos[stripe[order]]
-    n_g = n_stripes + W_PANES - 1
-    cols_p = np.zeros((n_g, E), np.int32)
-    blocks_p = np.zeros((n_g, E, B, B), np.float32)
-    onehot = np.zeros((n_g, E, LANE), np.float32)
+    panes_e = (cols >> 7).astype(np.int64)
+    order = np.lexsort((panes_e, stripe))   # stripe-major, pane within
     s_o = stripe[order]
-    e_o = idx_in_stripe
-    cols_p[s_o, e_o] = cols[order]
-    blocks_p[s_o, e_o] = blocks[order]
-    onehot[s_o, e_o, slot[order]] = 1.0
-    return FarGrouped(cols=jnp.asarray(cols_p),
-                      blocks=jnp.asarray(blocks_p),
-                      onehot=jnp.asarray(onehot), shape=shape,
-                      n_real=int(nf))
+    p_o = panes_e[order]
+    pos = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    e_o = np.arange(nf) - pos[s_o]          # lane slot within stripe
+    # distinct-pane runs (entries are pane-sorted within each stripe)
+    newp = np.ones(nf, bool)
+    newp[1:] = (s_o[1:] != s_o[:-1]) | (p_o[1:] != p_o[:-1])
+    run_id = np.cumsum(newp) - 1            # global run index
+    stripe_start = np.ones(nf, bool)
+    stripe_start[1:] = s_o[1:] != s_o[:-1]
+    # run index of each entry's stripe-first run, propagated forward
+    base = np.maximum.accumulate(np.where(stripe_start, run_id, -1))
+    d_idx = run_id - base                   # per-stripe distinct-pane rank
+    D = int(d_idx.max()) + 1
+    E_pad = -(-max(E, 1) // B) * B
+    n_g = n_stripes + W_PANES - 1
+    n_gp = -(-n_g // FAR_SPS) * FAR_SPS     # grid-step padding
+    ep = np.full((n_gp, LANE), -1, np.int32)
+    li = np.zeros((n_gp, LANE), np.int32)
+    bt = np.zeros((n_gp, B, B, LANE), np.float32)    # [s, j, i, e]
+    oh = np.zeros((n_gp, E_pad, LANE), np.float32)
+    panes_t = np.zeros((n_gp, D), np.int32)
+    ep[s_o, e_o] = p_o.astype(np.int32)
+    li[s_o, e_o] = (cols[order] & (LANE - 1)).astype(np.int32)
+    # bt[s, j, i, e] = block_e[i, j] — j-major planes so the kernel's
+    # product loop is the same 8-FMA form as the near kernel's
+    bt[s_o, :, :, e_o] = blocks[order].transpose(0, 2, 1)
+    oh[s_o, e_o, slot[order]] = 1.0
+    panes_t[s_o[newp], d_idx[newp]] = p_o[newp].astype(np.int32)
+    return FarPane(panes=jnp.asarray(panes_t), ep=jnp.asarray(ep),
+                   lidx=jnp.asarray(li),
+                   bt=jnp.asarray(bt.reshape(n_gp * B * B, LANE)),
+                   oh=jnp.asarray(oh.reshape(n_gp * E_pad, LANE)),
+                   shape=shape, n_real=int(nf), n_grouped=n_gp,
+                   e_pad=E_pad, d_max=D)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
-class FarGrouped:
-    """Scatter-free far set: far blocks grouped by stripe, padded to a
-    uniform per-stripe count E, with a PRECOMPUTED one-hot slot matrix.
+class FarPane:
+    """Kernel-ready far set: far blocks grouped by stripe with a
+    host-built PANE PLAN, consumed by the Pallas far kernel
+    (ops/far_pallas.py:far_pane_out_panes).
 
-    The round-2 far path (flat block-COO + XLA scatter-add) cost ~19 ns
-    per block — 21 us (a third of the cant SpMV) for a 2% far set, almost
-    all of it the scatter (scripts/exp_sbell_attrib.py). Grouping by
-    stripe turns the row-scatter into a batched matmul that lands in the
-    NEAR KERNEL's output layout directly:
+    History: the round-2 flat path (XLA gather + scatter-add) cost ~19 ns
+    per block; the round-4 FarGrouped form killed the scatter with a
+    one-hot matmul but kept the XLA x row-gather, which round-5
+    attribution showed is ~14 ns per PADDED entry at ANY row width —
+    808 us at the 100M-nnz scale, equal to the entire near kernel
+    (scripts/exp_r5_chunk_attrib.py lineage). The pane plan moves the
+    whole computation into one Pallas kernel where every step is a
+    full-rate primitive:
 
-        prod[s,e,i]  = sum_j blocks[s,e,i,j] * x[8*cols[s,e] + j]
-        out[s,i,r]  += sum_e prod[s,e,i] * onehot[s,e,r]
+      gather   masked 128-lane shuffles over the stripe's <=D distinct
+               panes (the SBELL co-design trick, applied to the far set)
+      product  8 FMA planes: prod[i,e] = sum_j bt[s,j,i,e] * gx[j,e]
+      scatter  one (8,E)@(E,128) MXU one-hot matmul per stripe, landing
+               in the near kernel's output layout
 
-    (out[8*sid+i, r] is exactly the kernel's output tile layout, so the
-    far contribution is one elementwise add — zero scatters.)"""
+    Entries pack into the 128 LANES per stripe (e <= LANE enforced by
+    the builder), so all arrays are lane-major with zero layout padding.
+    Guard + grid-step padding stripes ride at the end (zero data)."""
 
-    cols: jax.Array     # (S, E) i32 block-col of each far entry (0-pad)
-    blocks: jax.Array   # (S, E, B, B) f32 (zero-pad)
-    onehot: jax.Array   # (S, E, LANE) f32: one-hot of the entry's slot
+    panes: jax.Array    # (S_g, D) i32 distinct panes per stripe (0-pad)
+    ep: jax.Array       # (S_g, LANE) i32 entry's pane (-1 = no entry)
+    lidx: jax.Array     # (S_g, LANE) i32 entry's x lane
+    bt: jax.Array       # (S_g*B*B, LANE) f32: [s,8j+i,e] = block_e[i,j]
+    oh: jax.Array       # (S_g*E_pad, LANE) f32 one-hot entry -> out lane
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     n_real: int = dataclasses.field(metadata=dict(static=True))
+    n_grouped: int = dataclasses.field(metadata=dict(static=True))
+    e_pad: int = dataclasses.field(metadata=dict(static=True))
+    d_max: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_far(self) -> int:
@@ -178,12 +217,14 @@ class FarGrouped:
 
     @property
     def hbm_bytes(self) -> int:
-        """Per-SpMV traffic: blocks + cols + onehot + gathered x rows +
-        the (S*B, LANE) output add. Padded sizes — that is what streams."""
-        bsize = jnp.dtype(self.blocks.dtype).itemsize
-        return (self.blocks.size * bsize + self.cols.size * 4
-                + self.onehot.size * 4 + self.cols.size * B * 4
-                + 2 * self.onehot.shape[0] * B * LANE * 4)
+        """Per-SpMV traffic: the four streamed plan arrays + the guarded
+        output add (read+write). x rides the resident panes already
+        counted by SBELL.hbm_bytes."""
+        bsize = jnp.dtype(self.bt.dtype).itemsize
+        return (self.bt.size * bsize + self.oh.size * 4
+                + self.ep.size * 4 + self.lidx.size * 4
+                + self.panes.size * 4
+                + 2 * self.n_grouped * B * LANE * 4)
 
 
 @jax.tree_util.register_dataclass
@@ -195,7 +236,7 @@ class SBELL:
     meta: jax.Array    # (n_tiles, 128) i32 col_local per slot
     pane: jax.Array    # (n_tiles,) i32 base x-pane per tile (prefetch)
     sid: jax.Array     # (n_tiles,) i32 stripe id per tile (prefetch)
-    far: object        # FarBlocks (scatter path), FarGrouped, or None
+    far: object        # FarBlocks (scatter path), FarPane, or None
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     n_stripes: int = dataclasses.field(metadata=dict(static=True))
     n_panes: int = dataclasses.field(metadata=dict(static=True))
@@ -234,14 +275,16 @@ class SBELL:
         operator applied in f32: error vs the f32 operator is bounded by
         bf16's 2^-8 relative value rounding). Far blocks are cast too so
         the quantization is uniform (testable against a quantized scipy
-        oracle); FarGrouped's one-hot slot matrix stays f32.
+        oracle); FarPane's one-hot slot matrix stays f32.
 
         tpb defaults to TPB_BF16 for 2-byte dtypes (the halved per-step
         DMA leaves the grid pipeline latency-bound at the f32 TPB —
         round-5 attribution, see TPB_BF16 above); pass tpb explicitly to
         override."""
         far = self.far
-        if far is not None:
+        if isinstance(far, FarPane):
+            far = dataclasses.replace(far, bt=far.bt.astype(dtype))
+        elif far is not None:
             far = dataclasses.replace(far,
                                       blocks=far.blocks.astype(dtype))
         out = dataclasses.replace(

@@ -121,7 +121,9 @@ def test_sbell_chunked_forced(monkeypatch):
     y_chk = np.asarray(sbell_spmv(sb2, x))
     np.testing.assert_allclose(y_chk, A @ np.asarray(x), rtol=1e-4,
                                atol=1e-5)
-    np.testing.assert_allclose(y_chk, y_res, rtol=1e-6, atol=1e-7)
+    # chunked runs the XLA far fallback, resident the Pallas far kernel
+    # (ops/far_pallas.py) — same values, different accumulation order
+    np.testing.assert_allclose(y_chk, y_res, rtol=1e-4, atol=1e-6)
     spc, win, tiles_max, bounds = spmv_pallas._chunk_plan(sb2)
     assert len(bounds) > 1      # actually chunked
 
