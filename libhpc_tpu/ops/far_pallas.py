@@ -40,7 +40,10 @@ def _kernel(panes_ref, ep_ref, li_ref, bt_ref, oh_ref, x_ref, o_ref, *,
         epr = ep_ref[ss:ss + 1, :]
         gx = jnp.zeros((B, LANE), jnp.float32)
         for d in range(d_max):
-            p = panes_ref[s, d]
+            # panes arrives FLATTENED 1-D: a 2-D (S, D) scalar-prefetch
+            # array lane-pads to (S, 128) in SMEM and overflows the 1 MB
+            # SMEM budget past ~2k stripes (round 5)
+            p = panes_ref[s * d_max + d]
             gathered = jnp.take_along_axis(x_ref[p], idxb, axis=1)
             sel = jnp.broadcast_to(epr == p, (B, LANE))
             gx = jnp.where(sel, gathered, gx)
@@ -102,7 +105,8 @@ def far_pane_out_panes(fp: FarPane, x3: jax.Array, guarded_rows: int
     """Far contribution in the near kernel's guarded output layout
     ((n_stripes + W_PANES - 1) * B, LANE). x3 is the guarded resident
     pane array the near kernel consumes."""
-    out = _far_call((fp.panes, fp.ep, fp.lidx, fp.bt, fp.oh, x3),
+    out = _far_call((fp.panes.reshape(-1), fp.ep, fp.lidx, fp.bt, fp.oh,
+                     x3),
                     fp.n_grouped, fp.d_max, fp.e_pad)
     return out[:guarded_rows]
 

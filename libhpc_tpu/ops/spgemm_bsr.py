@@ -91,24 +91,57 @@ def _symbolic(ai, ap, bi, bp, nbc_out):
     return ia, ib, seg, uniq // nbc_out, uniq % nbc_out
 
 
-@partial(jax.jit, static_argnames=("n_out", "mxu"))
-def _numeric_chunk(Ab, Bb, ia, ib, seg, acc, n_out: int, mxu: bool):
-    """One pair chunk: gather → batched 8×8 matmul → segment-sum."""
-    a = Ab[ia]                                  # (P, b, b)
-    b = Bb[ib]
-    if mxu:
-        # precision="highest": the default MXU bf16 pass costs ~1e-2 rel
-        # error (PERF_NOTES r4, spmm_bsr_cant_k64) and the op is
-        # gather-bound, so the extra passes are free
-        prod = jax.lax.dot_general(
-            a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-    else:
-        bsz = a.shape[1]
-        prod = a[:, :, 0:1] * b[:, 0:1, :]
-        for j in range(1, bsz):
-            prod = prod + a[:, :, j:j + 1] * b[:, j:j + 1, :]
+def _perm_mats(bsz: int):
+    """Constant one-hot lane-permutation matrices for the flattened
+    block product: for each contraction index j,
+
+        (a @ Ma_j)[p, b*i+k] = a[p, b*i+j]      (column-broadcast of A)
+        (b @ Mb_j)[p, b*i+k] = b[p, b*j+k]      (row-tile of B)
+
+    so prod = Σ_j (a @ Ma_j) * (b @ Mb_j) is the b×b block matmul with
+    every array staying (P, b²)-shaped."""
+    bb = bsz * bsz
+    Ma = np.zeros((bsz, bb, bb), np.float32)
+    Mb = np.zeros((bsz, bb, bb), np.float32)
+    for j in range(bsz):
+        for i in range(bsz):
+            for k in range(bsz):
+                Ma[j, bsz * i + j, bsz * i + k] = 1.0
+                Mb[j, bsz * j + k, bsz * i + k] = 1.0
+    return Ma, Mb
+
+
+@partial(jax.jit, static_argnames=("n_out", "mxu", "bsz"))
+def _numeric_chunk(Ab2, Bb2, ia, ib, seg, acc, n_out: int, mxu: bool,
+                   bsz: int = 8):
+    """One pair chunk: gather → blocked matmul → segment-sum.
+
+    Every device array stays FLATTENED (·, b²): any rank-3 (·, b, b)
+    array on this backend pads each block's trailing dim to 128 lanes
+    (16x memory — ResourceExhausted at ~1M pairs) and its lowering
+    overflows an internal uint32 offset table past ~100k blocks
+    (`Check failed: entries[i] <= uint32_max`, round 5). The b×b block
+    product runs as 2·b one-hot (b², b²) lane-permutation matmuls — an
+    exact permutation, MXU-contracted over the 64-lane axis."""
+    a = Ab2[ia]                                 # (P, b*b)
+    b = Bb2[ib]
+    Ma, Mb = _perm_mats(bsz)
+    prec = jax.lax.Precision.HIGHEST   # one-hot matmuls must stay exact
+    terms = []
+    for j in range(bsz):
+        if mxu:
+            aj = jnp.dot(a, jnp.asarray(Ma[j]), precision=prec)
+            bj = jnp.dot(b, jnp.asarray(Mb[j]), precision=prec)
+        else:
+            # static-index lane gathers (no MXU): same permutation
+            idx_a = np.nonzero(Ma[j])[0][np.argsort(np.nonzero(Ma[j])[1])]
+            idx_b = np.nonzero(Mb[j])[0][np.argsort(np.nonzero(Mb[j])[1])]
+            aj = jnp.take(a, jnp.asarray(idx_a), axis=1)
+            bj = jnp.take(b, jnp.asarray(idx_b), axis=1)
+        terms.append(aj * bj)
+    prod = terms[0]
+    for t in terms[1:]:
+        prod = prod + t
     return acc + jax.ops.segment_sum(
         prod, seg, num_segments=n_out, indices_are_sorted=True)
 
@@ -139,27 +172,35 @@ def spgemm_bsr(A: BSR, B: BSR, mxu: bool = True,
         return BSR(blocks=z, indices=jnp.zeros((1,), jnp.int32),
                    indptr=jnp.zeros((A.shape[0] // bsz + 1,), jnp.int32),
                    shape=(A.shape[0], B.shape[1]))
-    acc = jnp.zeros((n_out, bsz, bsz), jnp.float32)
-    # fixed chunk shape -> one compilation; tail is padded with a
-    # repeat of pair 0 pointed at dead segment... no: padding pairs
-    # must not contribute. Pad ia/ib with 0 and seg with n_out-1? That
-    # would add real products. Instead pad with a zero block: append a
-    # zero block to gathered space via index -1? Simplest exact scheme:
-    # pad count tracked and padded pairs multiply block 0 by 0 via a
-    # validity scale built into seg routing — route pads to segment 0
-    # with zero product by scaling. We avoid all of it by slicing the
-    # tail chunk host-side (at most one extra compilation).
+    acc = jnp.zeros((n_out, bsz * bsz), jnp.float32)
+    # flatten via HOST: a device reshape (or any op) consuming a rank-3
+    # (nblocks, b, b) array past ~100k blocks crashes the TPU lowering
+    # (uint32 offset-table overflow — the per-block (8,8) tail pads to an
+    # (8,128) tile internally); the 2-D upload lowers cleanly
+    Ab2 = jnp.asarray(np.asarray(A.blocks).reshape(-1, bsz * bsz))
+    Bb2 = Ab2 if B.blocks is A.blocks else \
+        jnp.asarray(np.asarray(B.blocks).reshape(-1, bsz * bsz))
+    # fixed-shape chunks would need inert padding pairs; slicing the
+    # tail host-side costs at most one extra compilation instead
     for p0 in range(0, P, pair_chunk):
         p1 = min(P, p0 + pair_chunk)
-        acc = _numeric_chunk(A.blocks, B.blocks,
+        acc = _numeric_chunk(Ab2, Bb2,
                              jnp.asarray(ia[p0:p1]),
                              jnp.asarray(ib[p0:p1]),
                              jnp.asarray(seg[p0:p1]),
-                             acc, n_out, mxu)
+                             acc, n_out=n_out, mxu=mxu, bsz=bsz)
     indptr = np.zeros(A.shape[0] // bsz + 1, np.int64)
     np.add.at(indptr, out_r + 1, 1)
     indptr = np.cumsum(indptr)
-    return BSR(blocks=acc.astype(A.blocks.dtype),
+    # assemble the rank-3 blocks on the HOST and KEEP them host-side
+    # (numpy leaf): device rank-3 (n_out, b, b) arrays at ~1M blocks
+    # materialize a 16x-padded layout and their transfer program aborts
+    # the TPU compiler (uint32 offset-table overflow) — and the result
+    # crosses to the host for any real consumer (scipy gate, file
+    # output) anyway. Callers needing device blocks should re-pack
+    # (e.g. SBELL.from_scipy(C.to_scipy()) for a follow-up SpMV).
+    blocks = np.asarray(acc).reshape(-1, bsz, bsz).astype(A.blocks.dtype)
+    return BSR(blocks=blocks,
                indices=jnp.asarray(out_c, jnp.int32),
                indptr=jnp.asarray(indptr, jnp.int32),
                shape=(A.shape[0], B.shape[1]))
