@@ -43,7 +43,7 @@ T0 = time.perf_counter()
 # skip the (expensive, secondary) scale section if the run is already
 # this old — the driver's timeout must never eat the headline JSON line
 SCALE_DEADLINE_S = float(__import__("os").environ.get(
-    "LIBHPC_BENCH_SCALE_DEADLINE", "1500"))
+    "LIBHPC_BENCH_SCALE_DEADLINE", "1800"))
 
 
 def elapsed():

@@ -6,8 +6,11 @@ Heuristics follow the measured round 1-4 truths (PERF_NOTES):
   * few distinct diagonals  -> DIA: VMEM-resident XLA form while the
     working set fits (~100 MB), the Pallas streaming kernel past it
     (176-225 Gnnz/s at any size);
-  * narrow per-slice pane windows -> SELL (the Pallas lane-gather ELL,
-    11-23 Gnnz/s — banded scalar structure without 8x8 blocks);
+  * scalar-regular (no 8x8 block density) -> SELL-P (the per-row-
+    sourced plane ELL, ops/sellp.py — ~20 Gnnz/s, no pane-window
+    restriction) when its (pane, sublane) buckets pack tightly
+    (diagonal-ish structure), else the round-4 rotation-gather SELL
+    (dense packing for ANY within-window structure at W·8 passes);
   * everything else -> SBELL (the flagship block path, ~0.9-1.0 of the
     HBM roofline on FEM matrices; bf16 value stream optional).
 """
@@ -64,14 +67,36 @@ def auto_format(A, prefer_bf16: bool = False):
                          + (coo.col.astype(np.int64) >> 3)).size
     blockish = A.nnz >= 0.5 * 64 * max(n_blocks, 1)
 
-    # --- scalar-regular with narrow windows? SELL -----------------------
+    # --- scalar-regular? SELL-P (no window restriction) -----------------
     if not blockish:
+        # packing must stay sane or the planes waste bandwidth (uniform
+        # random scatter fragments the per-pane units ~10x). Estimate
+        # the unit count from COORDINATES before building anything
+        # (same no-blowup discipline as the tobsr fix, VERDICT r4 #7):
+        # one row unit per distinct (stripe, x-pane, x-sublane,
+        # out-sublane) — a lower bound on tiles*8, so a lower bound on
+        # fill; reject without paying the builder.
+        r64 = coo.row.astype(np.int64)
+        c64 = coo.col.astype(np.int64)
+        unit_key = ((((r64 >> 10) * (-(-n // 1024)) + (c64 >> 10)) << 6)
+                    | ((c64 & 7) << 3) | (r64 & 7))
+        n_units = np.unique(unit_key).size
+        est_fill = n_units * 128 / max(A.nnz, 1)
+        if est_fill <= 4.0:
+            from libhpc_tpu.ops.sellp import sellp_from_scipy, sellp_spmv
+
+            sp = sellp_from_scipy(A)
+            if sp.fill_ratio(A.nnz) <= 4.0:
+                return sp, sellp_spmv
+        # SELL-P fragments when entries don't align on (pane, sublane)
+        # buckets (e.g. few random nnz/row in a band) — the round-4
+        # rotation-gather SELL packs those densely at W·8 passes/tile
         try:
-            from libhpc_tpu.ops.ell_pallas import sell_from_scipy, sell_spmv
+            from libhpc_tpu.ops.ell_pallas import (sell_from_scipy,
+                                                   sell_spmv)
 
             lens = np.diff(A.indptr)
             k = int(lens.max()) if lens.size else 0
-            # ELL fill must stay sane or the rectangle wastes bandwidth
             if k and k * m <= 4 * max(A.nnz, 1):
                 return sell_from_scipy(A), sell_spmv
         except ValueError:

@@ -34,6 +34,9 @@ def test_auto_fem_is_sbell():
 
 
 def test_auto_irregular_banded_is_sell():
+    # few random nnz/row in a band: SELL-P's (pane, sublane) buckets
+    # fragment (measured fill 12.4 here) — the chooser falls back to the
+    # rotation-gather SELL, which packs any within-window structure
     from libhpc_tpu.ops.ell_pallas import SELL
 
     # many distinct diagonals (not DIA-able), narrow band, regular-ish
